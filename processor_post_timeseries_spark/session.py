@@ -1,0 +1,78 @@
+"""SparkSession builder with the engine's standard configs.
+
+AQE on (runtime coalesce + skew-join splitting), Arrow on (every codec /
+reshape UDF is Arrow-vectorized), UTC, shuffle partitions sized to the
+local core count rather than the 200 default.  On a real cluster the same
+builder is used by ``spark-submit --py-files``; only ``master`` changes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for ``--py-files``-style shipping to executors.
+
+    The north rule requires the engine be runnable via ``spark-submit
+    --py-files`` on a multi-executor cluster; for plain ``python`` drivers
+    the session builder ships the same artifact itself (addPyFile), so
+    pandas-UDF closures unpickle on workers regardless of launch dir.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), f"{pkg_name}.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    return out
+
+
+def get_spark(
+    app_name: str = "pts-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the bench harness can pin parallelism for the N-vs-4N scaling runs.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # parse local[N] to size shuffles to actual parallelism
+        n = master.split("[")[-1].rstrip("]") if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("PTS_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
