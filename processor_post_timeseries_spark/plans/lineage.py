@@ -1,0 +1,129 @@
+"""Per-partition lineage + checkpoint table -> mid-pipeline resumability.
+
+North-rule requirement: "every stage writes per-partition lineage rows
+(input files, row counts, checksums) plus metrics to an Iceberg checkpoint
+table so the job is resumable mid-pipeline".  The reference's analog is
+the import manifest — the unit of commit/lineage for uploads
+(``/root/reference/processor/clients/import_client.py:95-136``).
+
+Protocol
+--------
+* Work unit = one physical partition key (e.g. ``(source, bucket)``).
+* A stage writes its output partition-first (``partitionOverwriteMode=
+  dynamic``), then reads the *written* files back to compute lineage
+  stats (row_count, xor-of-xxhash64 checksum, n_bytes via input files) —
+  so a checkpoint row certifies bytes on disk, not an in-memory plan.
+* Resume = anti-join the stage's work units against checkpoint rows with
+  ``status='done'``; completed partitions are never recomputed, and
+  re-writing a partition is idempotent (dynamic overwrite).
+
+Sandbox note: no Iceberg runtime jar is available offline, so the
+checkpoint table is an append-only Parquet table behind the same API
+(``catalog seam``, SURVEY.md §7); on a cluster with an Iceberg catalog
+the identical code targets ``format("iceberg")`` commits.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CKPT_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_key", T.StringType(), False),
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("row_count", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),
+        T.StructField("input_files", T.ArrayType(T.StringType()), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def _ckpt_path(root: str) -> str:
+    return os.path.join(root, "_checkpoint")
+
+
+def read_checkpoint(spark: SparkSession, root: str) -> DataFrame:
+    path = _ckpt_path(root)
+    try:
+        return spark.read.schema(CKPT_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], CKPT_SCHEMA)
+
+
+def completed_keys(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    """Distinct done partition_keys for a stage: (partition_key)."""
+    return (
+        read_checkpoint(spark, root)
+        .filter((F.col("stage") == stage) & (F.col("status") == "done"))
+        .select("partition_key")
+        .distinct()
+    )
+
+
+def record_stage(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    written_df: DataFrame,
+    key_cols: list[str],
+    run_id: str,
+    only_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Append done-rows for partitions of a written stage output.
+
+    ``written_df`` must be a read-back of the stage's files so lineage
+    certifies durable bytes (input_files from ``input_file_name()``).
+    ``only_keys`` restricts recording to the partitions this run wrote
+    (broadcast semi-join; applied after the file stamp because
+    input_file_name() must bind to a single scan).
+    """
+    data_cols = [c for c in written_df.columns]
+    stamped = written_df.withColumn(
+        "_h", F.xxhash64(*[F.col(c) for c in data_cols])
+    ).withColumn("_file", F.input_file_name())
+    if only_keys is not None:
+        stamped = stamped.join(F.broadcast(only_keys), key_cols, "left_semi")
+    stats = (
+        stamped.groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("row_count"),
+            F.expr("bit_xor(_h)").alias("checksum"),
+            F.array_distinct(F.collect_list("_file")).alias("input_files"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols]).alias(
+                "partition_key"
+            ),
+            F.lit(run_id).alias("run_id"),
+            "row_count",
+            "checksum",
+            "input_files",
+            F.lit("done").alias("status"),
+        )
+    )
+    stats.write.mode("append").parquet(_ckpt_path(root))
+    return stats
+
+
+def pending_only(df: DataFrame, spark: SparkSession, root: str, stage: str, key_cols: list[str]) -> DataFrame:
+    """Filter a stage input down to partitions without a done checkpoint
+    row — the resume anti-join. Checkpoint side is tiny -> broadcast."""
+    done = completed_keys(spark, root, stage)
+    keyed = df.withColumn(
+        "_pk", F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols])
+    )
+    return keyed.join(
+        F.broadcast(done.withColumnRenamed("partition_key", "_pk")), "_pk", "left_anti"
+    ).drop("_pk")
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]

@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from processor_post_timeseries_spark.operators.blocks import block_key, from_blocks, to_blocks
+from processor_post_timeseries_spark.operators.partitioning import with_bucket
+from processor_post_timeseries_spark.plans import lineage
+from processor_post_timeseries_spark.plans.pipeline import PipelineConfig, run_pipeline
+from processor_post_timeseries_spark.sources.synth import sequences
+
+
+def test_blocks_roundtrip_token_array_equality(spark):
+    """north-rule per-row invariant: decoded token arrays == originals."""
+    seq = sequences(spark, 30, seed=21, min_tok=1, max_tok=700, vocab=50_000).cache()
+    blocks = to_blocks(seq, block_size=100)
+    back = from_blocks(blocks)
+    joined = seq.alias("a").join(back.alias("b"), "doc_id")
+    n = seq.count()
+    assert joined.count() == n
+    bad = joined.filter(~(F.col("a.tokens") == F.col("b.tokens"))).count()
+    assert bad == 0
+
+
+def test_block_bounds_and_keys(spark):
+    seq = sequences(spark, 5, seed=3, min_tok=250, max_tok=250, vocab=100)
+    blocks = block_key(to_blocks(seq, block_size=100)).orderBy("doc_id", "block_no")
+    rows = blocks.filter(F.col("doc_id") == blocks.first()["doc_id"]).collect()
+    assert [(r["start_idx"], r["end_idx"], r["n"]) for r in rows] == [
+        (0, 100, 100),
+        (100, 200, 100),
+        (200, 250, 50),
+    ]
+    assert rows[1]["key"].endswith("_000000000100_000000000200.bin")
+
+
+def test_bucket_deterministic_and_bounded(spark):
+    seq = sequences(spark, 100, seed=1, min_tok=1, max_tok=5)
+    b1 = with_bucket(seq, 8).select("doc_id", "bucket").collect()
+    b2 = with_bucket(seq.repartition(5), 8).select("doc_id", "bucket").collect()
+    assert dict((r["doc_id"], r["bucket"]) for r in b1) == dict(
+        (r["doc_id"], r["bucket"]) for r in b2
+    )
+    assert all(0 <= r["bucket"] < 8 for r in b1)
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    tiers = (("1s", 10), ("1m", 6), ("1h", 6))
+    seq = sequences(spark, 60, seed=33, min_tok=5, max_tok=400, vocab=1000).cache()
+
+    # one-shot run
+    full_dir = str(tmp_path / "full")
+    run_pipeline(spark, seq, PipelineConfig(out_dir=full_dir, block_size=64, n_buckets=4, tiers=tiers))
+
+    # interrupted run: first process only half the docs (simulated crash),
+    # then resume with the full input
+    part_dir = str(tmp_path / "resumed")
+    half = seq.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) < 2)
+    cfg1 = PipelineConfig(out_dir=part_dir, block_size=64, n_buckets=4, tiers=tiers, run_id="run-a")
+    run_pipeline(spark, half, cfg1)
+    cfg2 = PipelineConfig(out_dir=part_dir, block_size=64, n_buckets=4, tiers=tiers, run_id="run-b")
+    run_pipeline(spark, seq, cfg2)
+
+    # resumed output == one-shot output, exactly, per stage
+    for stage in ["blocks", "tier_1s", "tier_1m", "tier_1h"]:
+        a = spark.read.parquet(f"{full_dir}/{stage}")
+        b = spark.read.parquet(f"{part_dir}/{stage}")
+        cols = sorted(a.columns)
+        agg = lambda d: (
+            d.withColumn("_h", F.xxhash64(*cols))
+            .select(F.expr("bit_xor(_h)").alias("h"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        ha, hb = agg(a), agg(b)
+        assert (ha["h"], ha["n"]) == (hb["h"], hb["n"]), stage
+
+    # resume actually skipped completed partitions: run-b only wrote
+    # checkpoint rows for buckets not done by run-a
+    ck = lineage.read_checkpoint(spark, part_dir)
+    done_a = {r["partition_key"] for r in ck.filter("run_id = 'run-a' and stage = 'blocks'").collect()}
+    done_b = {r["partition_key"] for r in ck.filter("run_id = 'run-b' and stage = 'blocks'").collect()}
+    assert done_a and done_b
+    assert not (done_a & done_b), "resume recomputed completed partitions"
+
+    # lineage checksums certify identical bytes for overlapping stages
+    full_ck = lineage.read_checkpoint(spark, full_dir)
+    fa = {(r["stage"], r["partition_key"]): (r["row_count"], r["checksum"]) for r in full_ck.collect()}
+    fb = {(r["stage"], r["partition_key"]): (r["row_count"], r["checksum"]) for r in ck.collect()}
+    assert set(fa) == set(fb)
+    for k in fa:
+        assert fa[k] == fb[k], k
+
+
+def test_pipeline_noop_on_second_run(spark, tmp_path):
+    seq = sequences(spark, 10, seed=4, min_tok=5, max_tok=50)
+    out = str(tmp_path / "p")
+    tiers = (("1s", 10),)
+    run_pipeline(spark, seq, PipelineConfig(out_dir=out, tiers=tiers, n_buckets=2, run_id="r1"))
+    run_pipeline(spark, seq, PipelineConfig(out_dir=out, tiers=tiers, n_buckets=2, run_id="r2"))
+    ck = lineage.read_checkpoint(spark, out)
+    assert ck.filter("run_id = 'r2'").count() == 0
