@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the engine's flagship pipeline (documents -> token
+sequences -> cascading tier rollup). ``queries``/``oracle_sql`` expose
+every implemented operator with a DuckDB-parity oracle (see
+``processor_post_timeseries_spark/contract.py`` for the determinism
+policy that makes the value hashes match bit-for-bit).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from processor_post_timeseries_spark import contract  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sequences (tokens = char codes of documents.text) ->
+    shuffle-free cascading tier rollup -> exploded tier points."""
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.operators.rollup import (
+        rollup_all_tiers,
+        tier_points,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.split("text", ""), lambda c: F.ascii(c)).alias("tokens"),
+        F.length("text").cast("int").alias("n_tok"),
+        F.col("source"),
+    ).filter(F.col("n_tok") > 0)
+    tiers = rollup_all_tiers(seq, (("1s", 16), ("1m", 4), ("1h", 4)))
+    return tier_points(tiers["1m"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return contract.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted => rows-only check)."""
+    return contract.oracle_sql()

@@ -17,13 +17,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def sessionize(df: DataFrame, key: str, ts: str, gap) -> DataFrame:
+def sessionize(df: DataFrame, key: str, ts: str, gap, tiebreak: list[str] | None = None) -> DataFrame:
     """Add ``seg_id`` (0-based per key): new segment where ts - lag(ts) > gap.
 
     ``gap`` may be a number (same units as ``ts``) or a Column expression.
+    ``tiebreak``: extra order columns so rows with equal ``ts`` get a
+    deterministic order (goldens must be partitioning-invariant).
     """
     gap_col = gap if isinstance(gap, Column) else F.lit(gap)
-    w = Window.partitionBy(key).orderBy(ts)
+    order = [ts, *(tiebreak or [])]
+    w = Window.partitionBy(key).orderBy(*order)
     delta = F.col(ts) - F.lag(ts).over(w)
     flag = F.when(delta > gap_col, 1).otherwise(0)
     return df.withColumn("seg_id", F.sum(flag).over(w).cast("long"))
