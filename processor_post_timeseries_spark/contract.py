@@ -440,3 +440,417 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: s for name, (_fn, s) in _REGISTRY.items() if s is not None}
+
+
+# ==========================================================================
+# Batch 2 — training-data pipeline ops (dedup / similarity / text /
+# multimodal) + engine-core parity via the char-code-token trick: tokens
+# derived as ascii codes of documents.text let DuckDB reproduce the
+# rollup/codec pipelines exactly.
+# ==========================================================================
+
+_DUCK_SHINGLES_CTE = """
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+)
+"""
+
+
+def _q_dedup_exact():
+    def run(spark, sf_dir):
+        from .operators.dedup import exact_dedup
+
+        load_views(spark, sf_dir)
+        return exact_dedup(spark.table("documents"))
+
+    return run, """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _q_dedup_jaccard():
+    def run(spark, sf_dir):
+        from .operators.dedup import ngram_jaccard_pairs
+
+        load_views(spark, sf_dir)
+        return ngram_jaccard_pairs(spark.table("documents"), n=3, threshold=0.5)
+
+    return run, f"""
+WITH {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+def _q_dedup_minhash():
+    def run(spark, sf_dir):
+        from .operators.dedup import lsh_candidate_pairs
+
+        load_views(spark, sf_dir)
+        return lsh_candidate_pairs(spark.table("documents"), n_hashes=16, n_bands=4)
+
+    mins = ",\n         ".join(
+        f"MIN(md5('{k}' || ':' || shingle)) AS h{k:02d}" for k in range(16)
+    )
+    band_selects = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"h{b * 4 + i:02d}" for i in range(4))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_no, md5({cols}) AS band_hash FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return run, f"""
+WITH {_DUCK_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({bands})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands_shared
+FROM bands a JOIN bands b USING (band_no, band_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def _q_ann_cosine():
+    def run(spark, sf_dir):
+        from .operators.similarity import cosine_topk
+
+        load_views(spark, sf_dir)
+        return cosine_topk(spark.table("embeddings"), k=5, n_queries=20)
+
+    return run, """
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+               / (q.norm * c.norm), 6) AS cos_sim
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+) x WHERE rank <= 5
+"""
+
+
+def _q_ann_lsh_hist():
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import lsh_buckets
+
+        load_views(spark, sf_dir)
+        return (
+            lsh_buckets(spark.table("embeddings"), n_planes=8)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vecs"))
+        )
+
+    plane_terms = []
+    for p in range(8):
+        sign = (
+            f"CASE WHEN substr(md5('{p}' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+            "IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END"
+        )
+        plane_terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({sign}))) > 0 "
+            f"THEN {2**p} ELSE 0 END"
+        )
+    bucket = " + ".join(plane_terms)
+    return run, f"""
+SELECT CAST({bucket} AS INTEGER) AS bucket, COUNT(*) AS n_vecs
+FROM embeddings GROUP BY 1
+"""
+
+
+def _q_text_tokens():
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.text import bpe_token_count, ws_token_count
+
+        load_views(spark, sf_dir)
+        t = F.col("text")
+        return spark.table("documents").select(
+            "doc_id",
+            ws_token_count(t).alias("n_ws_tokens"),
+            bpe_token_count(t).alias("n_bpe_tokens"),
+        )
+
+    return run, """
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), ' +')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def _q_text_quality():
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions import text as X
+
+        load_views(spark, sf_dir)
+        t = F.col("text")
+        return spark.table("documents").select(
+            "doc_id",
+            X.avg_word_len(t).alias("avg_word_len"),
+            X.punct_ratio(t).alias("punct_ratio"),
+            X.stopword_ratio(t).alias("stopword_ratio"),
+            X.quality_score(t).alias("quality"),
+        )
+
+    stop_list = "', '".join(
+        ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    )
+    return run, f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), ' +') AS words,
+         string_split_regex(lower(text), ' +') AS lwords,
+         len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         ROUND(list_sum(list_transform(words, w -> len(w)))
+               / greatest(len(words), 1), 6) AS avg_word_len,
+         ROUND(n_punct / greatest(len(text), 1), 6) AS punct_ratio,
+         ROUND(len(list_filter(lwords, w -> w IN ('{stop_list}')))
+               / greatest(len(lwords), 1), 6) AS stopword_ratio,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), ' +')) END AS n_ws
+  FROM base
+)
+SELECT doc_id, avg_word_len, punct_ratio, stopword_ratio,
+       ROUND((least(n_ws / 100.0, 1.0)
+              + least(stopword_ratio * 5, 1.0)
+              + (1.0 - least(punct_ratio * 4, 1.0))) / 3, 6) AS quality
+FROM m
+"""
+
+
+def _q_text_lang():
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.text import lang_id
+
+        load_views(spark, sf_dir)
+        return spark.table("documents").select(
+            "doc_id", lang_id(F.col("text")).alias("pred_lang")
+        )
+
+    from .functions.text import LANG_MARKERS
+
+    hit_cols = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        lst = "', '".join(markers)
+        hit_cols.append(
+            f"len(list_filter(string_split_regex(lower(text), ' +'), "
+            f"w -> w IN ('{lst}'))) AS h_{code}"
+        )
+    hits = ", ".join(hit_cols)
+    codes = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    case = " ".join(f"WHEN h_{c} = m THEN '{c}'" for c in codes)
+    return run, f"""
+WITH h AS (SELECT doc_id, {hits} FROM documents),
+     s AS (SELECT doc_id, *, {m} AS m FROM h)
+SELECT doc_id, CASE WHEN m = 0 THEN 'und' {case} END AS pred_lang
+FROM s
+"""
+
+
+def _q_text_fingerprint():
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.text import fingerprint
+
+        load_views(spark, sf_dir)
+        return spark.table("documents").select(
+            "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+        )
+
+    return run, """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def _q_multimodal_inventory():
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.multimodal import media_from_documents
+
+        load_views(spark, sf_dir)
+        media = media_from_documents(spark.table("documents"))
+        return media.groupBy("modality").agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.countDistinct("content_sha").alias("n_distinct_sha"),
+        )
+
+    return run, """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       COUNT(*) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT sha256(text)) AS n_distinct_sha
+FROM documents GROUP BY 1
+"""
+
+
+def _char_tokens_df(spark, sf_dir):
+    """documents -> input_hint-shaped sequences with ascii-code tokens."""
+    from pyspark.sql import functions as F
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(
+            F.filter(F.split("text", ""), lambda c: c != ""), lambda c: F.ascii(c)
+        ).alias("tokens"),
+        F.length("text").cast("int").alias("n_tok"),
+        F.col("source"),
+    ).filter(F.col("n_tok") > 0)
+
+
+def _q_rollup_tier_parity():
+    """Core engine parity: shuffle-free tier rollup vs direct SQL windows."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.rollup import rollup_all_tiers, tier_points
+
+        seq = _char_tokens_df(spark, sf_dir)
+        tiers = rollup_all_tiers(seq, (("1s", 16), ("1m", 4)))
+        return tier_points(tiers["1m"]).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "win_no",
+            F.col("min_v"),
+            F.col("max_v"),
+            F.col("sum_v"),
+            F.col("cnt"),
+            F.col("mean_v"),
+        )
+
+    return run, """
+WITH chars AS (
+  SELECT doc_id, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i <= length(text)
+)
+SELECT doc_id,
+       CAST((i - 1) // 64 AS INTEGER) AS win_no,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(*) AS cnt,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_v
+FROM chars GROUP BY doc_id, (i - 1) // 64
+"""
+
+
+def _q_codec_roundtrip():
+    """Gorilla/DoD codec round-trip certified against an independent count."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.codec import dod_decode, dod_encode
+
+        seq = _char_tokens_df(spark, sf_dir)
+        return seq.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            (dod_decode(dod_encode("tokens")) == F.col("tokens")).alias("ok"),
+        )
+
+    return run, """
+SELECT doc_id, length(text) AS n_tok, true AS ok
+FROM documents WHERE length(text) > 0
+"""
+
+
+def _q_blocks_roundtrip():
+    """Block cut + binary sink + reassembly == identity (north-rule
+    per-row token-array equality)."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.blocks import from_blocks, to_blocks
+
+        seq = _char_tokens_df(spark, sf_dir)
+        back = from_blocks(to_blocks(seq, block_size=64))
+        joined = seq.alias("a").join(back.alias("b"), "doc_id")
+        return joined.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("a.n_tok").cast("bigint").alias("n_tok"),
+            (F.col("a.tokens") == F.col("b.tokens")).alias("ok"),
+        )
+
+    return run, """
+SELECT doc_id, length(text) AS n_tok, true AS ok
+FROM documents WHERE length(text) > 0
+"""
+
+
+def _q_simhash():
+    def run(spark, sf_dir):
+        from .operators.dedup import simhash64
+
+        load_views(spark, sf_dir)
+        return simhash64(spark.table("documents"))
+
+    return run, None  # bit-level sketch: rows-only check
+
+
+_REGISTRY.update(
+    {
+        "dedup_exact": _q_dedup_exact(),
+        "dedup_ngram_jaccard": _q_dedup_jaccard(),
+        "dedup_minhash_lsh": _q_dedup_minhash(),
+        "dedup_simhash": _q_simhash(),
+        "ann_cosine_topk": _q_ann_cosine(),
+        "ann_lsh_bucket_hist": _q_ann_lsh_hist(),
+        "text_token_counts": _q_text_tokens(),
+        "text_quality": _q_text_quality(),
+        "text_lang_id": _q_text_lang(),
+        "text_fingerprint": _q_text_fingerprint(),
+        "multimodal_inventory": _q_multimodal_inventory(),
+        "rollup_tier_parity": _q_rollup_tier_parity(),
+        "codec_roundtrip": _q_codec_roundtrip(),
+        "blocks_roundtrip": _q_blocks_roundtrip(),
+    }
+)

@@ -1,0 +1,111 @@
+"""Text analysis functions for training-data pipelines, all JVM-side
+(built-in ``pyspark.sql.functions`` — no Python in the hot path).
+
+Each returns Column expressions usable in any projection; the driver
+contract exposes them as queries with DuckDB-parity oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# token that a BPE-ish pre-tokenizer would emit: word or single non-space
+# punctuation (portable regex — no backslash classes, see contract.py)
+BPE_TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace tokens (empty string -> 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), " +"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    return F.round(n_punct / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def stopword_ratio(text: Column) -> Column:
+    words = F.split(F.lower(text), " +")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return F.round(n_stop / F.greatest(F.size(words), F.lit(1)), 6)
+
+
+def avg_word_len(text: Column) -> Column:
+    words = F.split(F.trim(text), " +")
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.round(total / F.greatest(F.size(words), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic quality in [0,1]: rewards mid-length docs
+    and healthy stopword presence, penalizes punctuation soup."""
+    n = ws_token_count(text)
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    return F.round((len_term + stop_term + punct_term) / 3, 6)
+
+
+# language-ID: n-gram/stopword evidence per language, argmax with a
+# deterministic tie-break on language code. Marker lists are the classic
+# closed-class giveaway words.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "und", "ist", "mit"),
+    "fr": ("le", "la", "et", "est", "avec"),
+    "es": ("el", "la", "y", "es", "con"),
+    "zh": ("de", "shi", "he", "zai", "le"),
+}
+
+
+def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    words = F.split(F.lower(text), " +")
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax marker hits (ties -> lexicographically
+    smallest code; 'und' when nothing matches)."""
+    scored = F.array(
+        *[
+            F.struct(_marker_hits(text, m).alias("hits"), F.lit(code).alias("code"))
+            for code, m in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # argmax with smallest-code tie-break: scored is code-ordered, so the
+    # FIRST element reaching max hits wins (filter preserves array order)
+    max_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    best = F.element_at(F.filter(scored, lambda s: s["hits"] == max_hits), 1)
+    return F.when(max_hits > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of lowercased text with
+    non-alphanumerics collapsed — the standard near-dup canonicalization."""
+    canon = F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
+    return F.md5(F.trim(canon))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-stop per-doc profile used by the contract queries."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        ws_token_count(t).alias("n_ws_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        avg_word_len(t).alias("avg_word_len"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("pred_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,136 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from processor_post_timeseries_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
+from processor_post_timeseries_spark.functions.text import text_profile
+from processor_post_timeseries_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_near_pairs,
+)
+from processor_post_timeseries_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog", "srcA"),
+    ("d2", "the quick brown fox jumps over the lazy dog", "srcA"),  # exact dup of d1
+    ("d3", "the quick brown fox jumps over the lazy cat", "srcA"),  # near dup
+    ("d4", "completely different text about spark engines and rollups", "srcB"),
+    ("d5", "tiny", "srcB"),
+    ("d6", "", "srcB"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string, source string")
+
+
+def test_exact_dedup(spark):
+    got = {r["keeper_id"]: r["n_docs"] for r in exact_dedup(_docs(spark)).collect()}
+    assert got["d1"] == 2  # d1+d2 same hash, keeper = min id
+    assert got["d3"] == 1 and got["d4"] == 1
+
+
+def test_shingles_and_jaccard(spark):
+    sh = shingles(_docs(spark), 3)
+    d1 = {r["shingle"] for r in sh.filter("doc_id = 'd1'").collect()}
+    assert "the quick brown" in d1 and len(d1) == 7
+    assert sh.filter("doc_id = 'd5'").count() == 0  # shorter than n
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), 3, 0.3).collect()}
+    assert pairs[("d1", "d2")] == 1.0
+    # d1 vs d3: 7 shingles each; only the final shingle differs
+    # ("the lazy dog" vs "the lazy cat") -> 6 common / 8 union = 0.75
+    assert pairs[("d1", "d3")] == 0.75
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sig = minhash_signatures(_docs(spark), 16)
+    assert len(sig.columns) == 17
+    cand = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(_docs(spark), 16, 4).collect()}
+    assert ("d1", "d2") in cand  # identical docs share all bands
+    assert ("d1", "d4") not in cand
+
+
+def test_simhash(spark):
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    assert got["d1"] == got["d2"] != 0
+    assert got["d6"] == 0
+    near = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(_docs(spark), 16).collect()}
+    assert near[("d1", "d2")] == 0
+
+
+def _emb(spark, n=40, dim=8):
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.normal(size=dim).astype(np.float32).tolist(), i % 3) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(spark):
+    emb = _emb(spark)
+    got = cosine_topk(emb, k=3, n_queries=5).collect()
+    rows = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"]) for r in got}
+    assert len(got) == 15
+    # numpy cross-check for query 0
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].map(np.array))
+    v0 = V[pdf["vec_id"] == 0][0]
+    sims = (V @ v0) / (np.linalg.norm(V, axis=1) * np.linalg.norm(v0))
+    order = [int(i) for i in np.argsort(-np.round(sims, 6)) if i != 0][:3]
+    assert [rows[(0, r)][0] for r in (1, 2, 3)] == order
+
+
+def test_ann_lsh_bucket_recall(spark):
+    # near-dup structure (the LSH use-case): each even vector has an odd
+    # perturbed twin at cosine ~0.995; sign-LSH keeps twins together with
+    # prob (1 - theta/pi)^planes ~ 0.88 for 4 planes
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(0, 60, 2):
+        v = rng.normal(size=8)
+        w = v + rng.normal(size=8) * 0.05
+        rows.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist(), 0))
+        rows.append((i + 1, (w / np.linalg.norm(w)).astype(np.float32).tolist(), 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, k=1, n_queries=60).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ann_lsh_topk(emb, k=1, n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_text_profile(spark):
+    prof = {r["doc_id"]: r for r in text_profile(_docs(spark)).collect()}
+    assert prof["d1"]["n_ws_tokens"] == 9
+    assert prof["d1"]["pred_lang"] == "en"
+    assert prof["d1"]["fingerprint"] == prof["d2"]["fingerprint"]
+    assert prof["d6"]["n_ws_tokens"] == 0 and prof["d6"]["pred_lang"] == "und"
+    assert 0.0 <= prof["d4"]["quality"] <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}", "en", "s", 10) for i in range(9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = media_from_documents(docs)
+    assert media.select("modality").distinct().count() == 3
+    feats = extract_features(media, deterministic_fake=True).collect()
+    assert all(r["feat_dim"] == 16 for r in feats)
+    # deterministic: same payload -> same features
+    f2 = extract_features(media, deterministic_fake=True).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {r["media_id"]: r["features"] for r in f2}
+    # real-decode path must fail loudly, not silently fake
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, deterministic_fake=False).collect()
+    plan = frame_sample_plan(media, every_n_bytes=4).collect()
+    assert all(r["n_samples"] == len(r["sample_offsets"]) for r in plan)
