@@ -1,0 +1,120 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "tokens_per_sec": ...}
+
+Measures (a) the headline north-rule metric — rollup throughput in
+tokens/sec end-to-end raw -> blocks + all retention tiers on a
+deterministic synthetic sequences corpus sized by the SF — and (b)
+wall-clock of representative contract queries on $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     PTS_BENCH_DOCS (override corpus size),
+     PTS_BENCH_OUT (work dir, default /tmp/pts_bench).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from processor_post_timeseries_spark import contract  # noqa: E402
+from processor_post_timeseries_spark.plans.pipeline import (  # noqa: E402
+    PipelineConfig,
+    run_pipeline,
+)
+from processor_post_timeseries_spark.session import get_spark  # noqa: E402
+from processor_post_timeseries_spark.sources.synth import sequences  # noqa: E402
+
+# contract queries worth timing per-round (cover scan/join/window/dedup/ann)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "w1_sessionize_events",
+    "w5_cascade_1h_from_1m",
+    "w2_gapfill_grid",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "rollup_tier_parity",
+    "codec_roundtrip",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_docs = int(os.environ.get("PTS_BENCH_DOCS", str(max(int(40_000 * sf * 25), 500))))
+    # tmpfs by default: measures the compute path, not the single VM disk
+    work = os.environ.get("PTS_BENCH_OUT", "/dev/shm/pts_bench")
+
+    spark = get_spark("pts-bench", master=f"local[{cpus}]")
+
+    # ---- setup (untimed): materialize the deterministic corpus ----------
+    seq_path = f"{work}/sequences"
+    shutil.rmtree(work, ignore_errors=True)
+    sequences(spark, n_docs, seed=42).write.mode("overwrite").parquet(seq_path)
+    seq = spark.read.parquet(seq_path)
+    n_tokens = seq.agg(F.sum("n_tok")).collect()[0][0]
+
+    # ---- headline: raw -> blocks + 1s/1m/1h tiers, lineage on ----------
+    t0 = time.perf_counter()
+    run_pipeline(
+        spark,
+        seq,
+        PipelineConfig(
+            out_dir=f"{work}/out",
+            block_size=131_072,
+            n_buckets=max(cpus, 8),
+            tiers=(("1s", 100), ("1m", 60), ("1h", 60)),
+            run_id="bench",
+            resume=False,
+            # measured: the fused single-pass kernel is ~1.5x slower here
+            # (object-dtype padding + wider Arrow frames outweigh the
+            # saved second scan); modular concurrent stages win
+            fused_ingest=False,
+        ),
+    )
+    rollup_sec = time.perf_counter() - t0
+
+    # ---- contract queries on the sf dir ---------------------------------
+    qsecs: dict[str, float] = {}
+    qs = contract.queries()
+    if os.environ.get("PTS_BENCH_SKIP_QUERIES"):
+        qs, bench_queries = {}, []
+    else:
+        bench_queries = BENCH_QUERIES
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qsecs[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(rollup_sec + sum(qsecs.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "rollup+queries wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": {"rollup_pipeline": round(rollup_sec, 3), **qsecs},
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "n_tokens": int(n_tokens),
+                "tokens_per_sec": int(n_tokens / rollup_sec),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

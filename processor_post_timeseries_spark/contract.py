@@ -532,10 +532,10 @@ GROUP BY a.doc_id, b.doc_id
 
 def _q_ann_cosine():
     def run(spark, sf_dir):
-        from .operators.similarity import cosine_topk
+        from .operators.similarity import cosine_topk_np
 
         load_views(spark, sf_dir)
-        return cosine_topk(spark.table("embeddings"), k=5, n_queries=20)
+        return cosine_topk_np(spark.table("embeddings"), k=5, n_queries=20)
 
     return run, """
 WITH v AS (

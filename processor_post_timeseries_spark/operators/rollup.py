@@ -62,30 +62,61 @@ def _window_reduce(a: np.ndarray, w: int, op) -> np.ndarray:
     return head
 
 
+def _batch_window_stats(arrays: list[np.ndarray], w: int):
+    """Window min/max/sum/cnt for a whole Arrow batch in FOUR numpy calls.
+
+    Concatenates every doc's values and runs ``ufunc.reduceat`` over the
+    combined window-start boundaries; windows never straddle docs because
+    each doc's offset is itself a boundary. This removes the per-doc
+    Python loop — the difference between interpreter-bound and
+    memory-bound throughput at high core counts.
+    """
+    starts, nws, total = _window_starts([len(a) for a in arrays], w)
+    if total == 0:
+        empty = np.empty(0, np.int64)
+        return empty, empty, empty, empty, nws
+    vals = np.concatenate(arrays).astype(np.int64, copy=False)
+    mins = np.minimum.reduceat(vals, starts)
+    maxs = np.maximum.reduceat(vals, starts)
+    sums = np.add.reduceat(vals, starts)
+    ends = np.concatenate([starts[1:], [len(vals)]])
+    cnts = ends - starts
+    return mins, maxs, sums, cnts, nws
+
+
+def _window_starts(lengths, w: int):
+    """Combined window-start boundaries for a batch of per-doc arrays laid
+    end to end: returns (starts, per-doc window counts, total windows)."""
+    lens = np.asarray(lengths, dtype=np.int64)
+    nws = (lens + w - 1) // w
+    total = int(nws.sum())
+    if total == 0:
+        return np.empty(0, np.int64), nws, 0
+    doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    win_off = np.concatenate([[0], np.cumsum(nws)[:-1]])
+    starts = np.repeat(doc_off, nws) + (np.arange(total) - np.repeat(win_off, nws)) * w
+    return starts, nws, total
+
+
 def tier1_from_tokens(seq_df: DataFrame, window: int, tier: str = "1s") -> DataFrame:
     """Raw -> first tier. Narrow map: no shuffle, no explode."""
 
     def agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "source", "n_windows", "mins", "maxs", "sums", "cnts")}
-            for doc, src, toks in zip(pdf["doc_id"], pdf["source"], pdf["tokens"]):
-                a = np.asarray(toks, dtype=np.int64)
-                mins = _window_reduce(a, window, np.min)
-                maxs = _window_reduce(a, window, np.max)
-                sums = _window_reduce(a, window, np.sum)
-                n = len(a)
-                nw = len(mins)
-                cnts = np.full(nw, window, dtype=np.int64)
-                if nw and n % window:
-                    cnts[-1] = n % window
-                out["doc_id"].append(doc)
-                out["source"].append(src)
-                out["n_windows"].append(nw)
-                out["mins"].append(mins)
-                out["maxs"].append(maxs)
-                out["sums"].append(sums)
-                out["cnts"].append(cnts)
-            res = pd.DataFrame(out)
+            arrays = [np.asarray(t) for t in pdf["tokens"]]
+            mins, maxs, sums, cnts, nws = _batch_window_stats(arrays, window)
+            bounds = np.cumsum(nws)[:-1] if len(nws) else []
+            res = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "source": pdf["source"].values,
+                    "n_windows": nws.astype(np.int32) if len(nws) else nws,
+                    "mins": np.split(mins, bounds),
+                    "maxs": np.split(maxs, bounds),
+                    "sums": np.split(sums, bounds),
+                    "cnts": np.split(cnts, bounds),
+                }
+            )
             res["tier"] = tier
             res["window"] = np.int64(window)
             yield res[[f.name for f in TIER_SCHEMA.fields]]
@@ -102,18 +133,104 @@ def cascade_tier(prev: DataFrame, factor: int, tier: str) -> DataFrame:
 
     def agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                mins = _window_reduce(np.asarray(r.mins, np.int64), factor, np.min)
-                maxs = _window_reduce(np.asarray(r.maxs, np.int64), factor, np.max)
-                sums = _window_reduce(np.asarray(r.sums, np.int64), factor, np.sum)
-                cnts = _window_reduce(np.asarray(r.cnts, np.int64), factor, np.sum)
-                rows.append(
-                    (r.doc_id, r.source, tier, r.window * factor, len(mins), mins, maxs, sums, cnts)
+            if not len(pdf):
+                continue
+            lens = [len(a) for a in pdf["mins"]]
+            starts, nws, total = _window_starts(lens, factor)
+            col = {}
+            # composition rules: min of mins, max of maxes, sum of sums,
+            # sum of cnts — exact tier-k -> tier-k+1 algebra (A6)
+            for name, ufunc in (
+                ("mins", np.minimum),
+                ("maxs", np.maximum),
+                ("sums", np.add),
+                ("cnts", np.add),
+            ):
+                vals = (
+                    np.concatenate([np.asarray(a) for a in pdf[name]]).astype(np.int64, copy=False)
+                    if total
+                    else np.empty(0, np.int64)
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in TIER_SCHEMA.fields])
+                col[name] = ufunc.reduceat(vals, starts) if total else vals
+            bounds = np.cumsum(nws)[:-1] if len(nws) else []
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "source": pdf["source"].values,
+                    "tier": tier,
+                    "window": (pdf["window"].values * factor).astype(np.int64),
+                    "n_windows": nws.astype(np.int32) if len(nws) else nws,
+                    "mins": np.split(col["mins"], bounds),
+                    "maxs": np.split(col["maxs"], bounds),
+                    "sums": np.split(col["sums"], bounds),
+                    "cnts": np.split(col["cnts"], bounds),
+                }
+            )[[f.name for f in TIER_SCHEMA.fields]]
 
     return prev.mapInPandas(agg, schema=TIER_SCHEMA)
+
+
+def fused_tiers(
+    seq_df: DataFrame, tiers: tuple[tuple[str, int], ...] = DEFAULT_TIERS
+) -> DataFrame:
+    """ALL retention tiers in one narrow pass (rows tagged by ``tier``).
+
+    Semantics identical to ``rollup_all_tiers`` — tier k+1 is composed
+    from tier k's arrays (min-of-mins / max-of-maxes / sum-of-sums /
+    sum-of-cnts) inside the same kernel — but the plan touches the raw
+    ``tokens`` exactly once and produces one output, so the pipeline
+    needs one write job instead of three chained write+read-backs.
+    That read-amplification difference is the scaling-efficiency lever:
+    serial per-job overhead happens once.
+    """
+
+    def agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TIER_SCHEMA.fields]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrays = [np.asarray(t) for t in pdf["tokens"]]
+            frames = []
+            window = 1
+            cur = None  # (mins, maxs, sums, cnts, nws)
+            for name, factor in tiers:
+                window *= factor
+                if cur is None:
+                    cur = _batch_window_stats(arrays, factor)
+                else:
+                    mins0, maxs0, sums0, cnts0, nws0 = cur
+                    starts, nws, total = _window_starts(nws0, factor)
+                    bounds0 = np.cumsum(nws0)[:-1]
+                    # previous tier's arrays are already concatenated
+                    # batch-wide; reduceat composes them directly
+                    cur = (
+                        np.minimum.reduceat(mins0, starts) if total else mins0[:0],
+                        np.maximum.reduceat(maxs0, starts) if total else maxs0[:0],
+                        np.add.reduceat(sums0, starts) if total else sums0[:0],
+                        np.add.reduceat(cnts0, starts) if total else cnts0[:0],
+                        nws,
+                    )
+                    del bounds0
+                mins, maxs, sums, cnts, nws = cur
+                bounds = np.cumsum(nws)[:-1] if len(nws) else []
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].values,
+                            "source": pdf["source"].values,
+                            "tier": name,
+                            "window": np.int64(window),
+                            "n_windows": nws.astype(np.int32) if len(nws) else nws,
+                            "mins": np.split(mins, bounds),
+                            "maxs": np.split(maxs, bounds),
+                            "sums": np.split(sums, bounds),
+                            "cnts": np.split(cnts, bounds),
+                        }
+                    )[cols]
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return seq_df.mapInPandas(agg, schema=TIER_SCHEMA)
 
 
 def rollup_all_tiers(

@@ -66,6 +66,73 @@ def cosine_topk(
     )
 
 
+def cosine_topk_np(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 20,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Same semantics as ``cosine_topk`` (round-6 sims, id tie-break) but
+    the dot products run as one numpy GEMM per Arrow batch: the query
+    matrix ships to every task (broadcast — it's the small side), the
+    corpus streams through ``mapInPandas``. This is the 100 TB shape:
+    per-task cost is O(batch × queries × dim) at BLAS speed, no
+    corpus-side shuffle; only the (queries × k)-bounded candidate rows
+    shuffle into the final top-k window."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = (
+        emb.filter(F.col(id_col) < n_queries).select(id_col, vec).collect()
+    )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(Q, axis=1)
+    bq_ids = emb.sparkSession.sparkContext.broadcast(q_ids)
+    bq = emb.sparkSession.sparkContext.broadcast((Q, qnorm))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def sims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        (Qm, qn), qi = bq.value, bq_ids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            vn = np.linalg.norm(V, axis=1)
+            # dot / (|q| * |v|) — same op shape as the SQL oracle
+            S = np.round((Qm @ V.T) / np.outer(qn, vn), 6)  # (n_queries, batch)
+            nid = pdf[id_col].to_numpy(np.int64)
+            nq, nb = S.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qi, nb),
+                    "neighbor_id": np.tile(nid, nq),
+                    "cos_sim": S.reshape(-1),
+                }
+            )
+
+    pairs = emb.select(id_col, vec).mapInPandas(sims, schema=schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def _plane_sign(p: int, i):
     """Deterministic ±1 from md5 parity of (plane, dim) — portable to SQL:
     +1 iff first hex char of md5('p:i') is 0-7 (i.e. top bit clear)."""

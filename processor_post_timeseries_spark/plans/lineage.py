@@ -26,6 +26,7 @@ the identical code targets ``format("iceberg")`` commits.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,8 +110,15 @@ def record_stage(
             F.lit("done").alias("status"),
         )
     )
-    stats.write.mode("append").parquet(_ckpt_path(root))
+    # concurrent pipeline stages (plans/pipeline.py) may append lineage at
+    # the same time; the Hadoop committer shares one _temporary dir per
+    # output path, so serialize this (tiny) append within the process
+    with _CKPT_WRITE_LOCK:
+        stats.write.mode("append").parquet(_ckpt_path(root))
     return stats
+
+
+_CKPT_WRITE_LOCK = threading.Lock()
 
 
 def pending_only(df: DataFrame, spark: SparkSession, root: str, stage: str, key_cols: list[str]) -> DataFrame:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.blocks import to_blocks
 from ..operators.partitioning import DEFAULT_BUCKETS, with_bucket
-from ..operators.rollup import DEFAULT_TIERS, cascade_tier, tier1_from_tokens
+from ..operators.rollup import DEFAULT_TIERS, fused_tiers
 from . import lineage
 
 
@@ -42,6 +42,10 @@ class PipelineConfig:
     tiers: tuple = DEFAULT_TIERS
     run_id: str = field(default_factory=lineage.new_run_id)
     resume: bool = True
+    # single-pass blocks+tiers kernel (plans/ingest.py): one raw scan and
+    # one Arrow transfer instead of two — the production mode for large
+    # corpora; modular per-stage mode kept for operator-level reuse
+    fused_ingest: bool = False
 
 
 def _write_stage(
@@ -50,6 +54,8 @@ def _write_stage(
     stage: str,
     df: DataFrame,
     key_cols: list[str] = ("source", "bucket"),
+    record_threads: list | None = None,
+    keys_from: DataFrame | None = None,
 ) -> DataFrame:
     """Write one stage partition-first + record lineage from read-back.
 
@@ -57,56 +63,162 @@ def _write_stage(
     must not re-attribute earlier runs' partitions), so the read-back is
     semi-joined on the just-written keys — a broadcast of a tiny key set,
     and the parquet scan prunes to those partitions.
+
+    When ``record_threads`` is given, the lineage job (a scan+groupBy of
+    the just-written, already-reduced files) runs as a concurrent Spark
+    job instead of a barrier — the next stage starts immediately; the
+    pipeline joins all lineage jobs before returning, so a checkpoint row
+    still never precedes its data.
     """
+    import threading
+
     path = f"{cfg.out_dir}/{stage}"
     key_cols = list(key_cols)
-    df.write.mode("overwrite").partitionBy(*key_cols).parquet(path)
-    keys = df.select(*key_cols).distinct()
+    # align task partitioning with the sink layout: without this every
+    # task writes a file into every (source, bucket) dir it touches ->
+    # tasks × partitions tiny files; with it, one task owns few dirs
+    df.repartition(*key_cols).write.mode("overwrite").partitionBy(*key_cols).parquet(path)
+    # partition keys this run wrote, WITHOUT re-executing the stage plan:
+    # derived from the (column-pruned) stage input, whose key set equals
+    # the output's (bucket is a pure function of doc_id)
+    keys = (keys_from if keys_from is not None else df).select(*key_cols).distinct()
     written = spark.read.parquet(path)
-    lineage.record_stage(
-        spark, cfg.out_dir, stage, written, key_cols, cfg.run_id, only_keys=keys
-    )
+
+    def _record() -> None:
+        lineage.record_stage(
+            spark, cfg.out_dir, stage, written, key_cols, cfg.run_id, only_keys=keys
+        )
+
+    if record_threads is None:
+        _record()
+    else:
+        t = threading.Thread(target=_record, name=f"lineage-{stage}")
+        t.start()
+        record_threads.append(t)
     return written
 
 
 def run_pipeline(spark: SparkSession, seq_df: DataFrame, cfg: PipelineConfig) -> dict[str, str]:
     """Execute all stages (skipping checkpointed partitions). Returns
-    {stage: output_path}."""
+    {stage: output_path}.
+
+    The blocks stage and the tier cascade are independent DAGs over the
+    same input, so they are submitted as CONCURRENT Spark jobs (the tier
+    chain on the caller thread, blocks on a helper thread): when one
+    stage's task count drops below the core count (tail tasks, small
+    cascade tiers), the other stage's tasks fill the idle slots. This is
+    what keeps 4N-executor utilization - and scaling efficiency - high.
+    """
+    import threading
+
     seq = with_bucket(seq_df, cfg.n_buckets)
     out: dict[str, str] = {}
+    blocks_err: list[BaseException] = []
+    record_threads: list = []
 
-    # -- stage: blocks --------------------------------------------------
-    stage = "blocks"
-    pending = lineage.pending_only(seq, spark, cfg.out_dir, stage, ["source", "bucket"]) if cfg.resume else seq
-    if not pending.isEmpty():
-        blocks = to_blocks(pending.drop("bucket"), cfg.block_size)
-        blocks = with_bucket(blocks, cfg.n_buckets).repartition("source", "bucket")
-        _write_stage(spark, cfg, stage, blocks)
-    out[stage] = f"{cfg.out_dir}/{stage}"
+    if cfg.fused_ingest:
+        from .ingest import fused_ingest
 
-    # -- stages: tier cascade -------------------------------------------
-    prev: DataFrame | None = None
-    for name, factor in cfg.tiers:
-        stage = f"tier_{name}"
-        src = seq if prev is None else prev
+        stage = "ingest"
         pending = (
-            lineage.pending_only(src, spark, cfg.out_dir, stage, ["source", "bucket"])
+            lineage.pending_only(seq, spark, cfg.out_dir, stage, ["source", "bucket"])
             if cfg.resume
-            else src
+            else seq
         )
-        if not pending.isEmpty():
-            if prev is None:
-                tier = tier1_from_tokens(pending.drop("bucket"), factor, name)
-                tier = with_bucket(tier, cfg.n_buckets)
-            else:
-                # mapInPandas re-projects to TIER_SCHEMA; re-derive the
-                # (deterministic) bucket for the sink partitioning
-                tier = with_bucket(cascade_tier(pending, factor, name), cfg.n_buckets)
-            _write_stage(spark, cfg, stage, tier)
-        written = spark.read.parquet(f"{cfg.out_dir}/{stage}")
+        if not cfg.resume or not pending.isEmpty():
+            ing = with_bucket(
+                fused_ingest(pending.drop("bucket"), cfg.tiers, cfg.block_size),
+                cfg.n_buckets,
+            )
+            path = f"{cfg.out_dir}/{stage}"
+            ing.repartition("source", "bucket").write.mode("overwrite").partitionBy(
+                "kind", "source", "bucket"
+            ).parquet(path)
+            written = spark.read.parquet(path)
+            lineage.record_stage(
+                spark,
+                cfg.out_dir,
+                stage,
+                written,
+                ["source", "bucket"],
+                cfg.run_id,
+                only_keys=pending.select("source", "bucket").distinct(),
+            )
         out[stage] = f"{cfg.out_dir}/{stage}"
-        prev = written
+        out["blocks"] = f"{cfg.out_dir}/{stage}/kind=block"
+        out["tiers"] = f"{cfg.out_dir}/{stage}/kind=tier"
+        return out
 
+    # -- stage: blocks (concurrent job) -----------------------------------
+    def _blocks_stage() -> None:
+        try:
+            stage = "blocks"
+            pending = (
+                lineage.pending_only(seq, spark, cfg.out_dir, stage, ["source", "bucket"])
+                if cfg.resume
+                else seq
+            )
+            # the isEmpty probe is only needed on resume (a fresh run's
+            # input is known non-empty by the caller); it costs a serial
+            # job that hurts scaling efficiency
+            if not cfg.resume or not pending.isEmpty():
+                blocks = to_blocks(pending.drop("bucket"), cfg.block_size)
+                blocks = with_bucket(blocks, cfg.n_buckets)
+                _write_stage(spark, cfg, stage, blocks,
+                             record_threads=record_threads, keys_from=pending)
+        except BaseException as e:  # surface on the caller thread
+            blocks_err.append(e)
+
+    blocks_thread = threading.Thread(target=_blocks_stage, name="blocks-stage")
+    blocks_thread.start()
+    out["blocks"] = f"{cfg.out_dir}/blocks"
+
+    # -- stage: tiers (fused cascade, one pass over raw) ------------------
+    stage = "tiers"
+    tier_names = [name for name, _f in cfg.tiers]
+    if cfg.resume:
+        # lineage keys are (tier, source, bucket); a work unit (source,
+        # bucket) is done only when EVERY tier's row is checkpointed
+        ck = lineage.read_checkpoint(spark, cfg.out_dir).filter(
+            (F.col("stage") == stage) & (F.col("status") == "done")
+        )
+        parts = F.split("partition_key", "/")
+        done_sb = (
+            ck.select(parts[0].alias("tier"), parts[1].alias("source"), parts[2].alias("bucket"))
+            .groupBy("source", "bucket")
+            .agg(F.countDistinct("tier").alias("nt"))
+            .filter(F.col("nt") >= len(tier_names))
+            .select(F.concat_ws("/", "source", "bucket").alias("_pk"))
+        )
+        pending = (
+            seq.withColumn("_pk", F.concat_ws("/", F.col("source"), F.col("bucket").cast("string")))
+            .join(F.broadcast(done_sb), "_pk", "left_anti")
+            .drop("_pk")
+        )
+    else:
+        pending = seq
+    if not cfg.resume or not pending.isEmpty():
+        tiers = with_bucket(fused_tiers(pending.drop("bucket"), cfg.tiers), cfg.n_buckets)
+        tier_dim = spark.createDataFrame([(n,) for n in tier_names], "tier string")
+        keys_df = pending.select("source", "bucket").distinct().crossJoin(tier_dim)
+        _write_stage(
+            spark,
+            cfg,
+            stage,
+            tiers,
+            key_cols=["tier", "source", "bucket"],
+            record_threads=record_threads,
+            keys_from=keys_df,
+        )
+    out[stage] = f"{cfg.out_dir}/{stage}"
+    for name in tier_names:
+        out[f"tier_{name}"] = f"{cfg.out_dir}/{stage}/tier={name}"
+
+    blocks_thread.join()
+    for t in record_threads:
+        t.join()
+    if blocks_err:
+        raise blocks_err[0]
     return out
 
 

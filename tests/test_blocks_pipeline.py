@@ -62,7 +62,7 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     run_pipeline(spark, seq, cfg2)
 
     # resumed output == one-shot output, exactly, per stage
-    for stage in ["blocks", "tier_1s", "tier_1m", "tier_1h"]:
+    for stage in ["blocks", "tiers"]:
         a = spark.read.parquet(f"{full_dir}/{stage}")
         b = spark.read.parquet(f"{part_dir}/{stage}")
         cols = sorted(a.columns)
@@ -77,10 +77,11 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     # resume actually skipped completed partitions: run-b only wrote
     # checkpoint rows for buckets not done by run-a
     ck = lineage.read_checkpoint(spark, part_dir)
-    done_a = {r["partition_key"] for r in ck.filter("run_id = 'run-a' and stage = 'blocks'").collect()}
-    done_b = {r["partition_key"] for r in ck.filter("run_id = 'run-b' and stage = 'blocks'").collect()}
-    assert done_a and done_b
-    assert not (done_a & done_b), "resume recomputed completed partitions"
+    for st in ("blocks", "tiers"):
+        done_a = {r["partition_key"] for r in ck.filter(f"run_id = 'run-a' and stage = '{st}'").collect()}
+        done_b = {r["partition_key"] for r in ck.filter(f"run_id = 'run-b' and stage = '{st}'").collect()}
+        assert done_a and done_b, st
+        assert not (done_a & done_b), f"resume recomputed completed partitions in {st}"
 
     # lineage checksums certify identical bytes for overlapping stages
     full_ck = lineage.read_checkpoint(spark, full_dir)

@@ -18,7 +18,11 @@ from processor_post_timeseries_spark.operators.dedup import (
     simhash64,
     simhash_near_pairs,
 )
-from processor_post_timeseries_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from processor_post_timeseries_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    cosine_topk_np,
+)
 
 DOCS = [
     ("d1", "the quick brown fox jumps over the lazy dog", "srcA"),
@@ -86,6 +90,17 @@ def test_cosine_topk_exact(spark):
     sims = (V @ v0) / (np.linalg.norm(V, axis=1) * np.linalg.norm(v0))
     order = [int(i) for i in np.argsort(-np.round(sims, 6)) if i != 0][:3]
     assert [rows[(0, r)][0] for r in (1, 2, 3)] == order
+
+
+def test_cosine_topk_np_equals_expression_version(spark):
+    emb = _emb(spark, n=50)
+    a = cosine_topk(emb, k=4, n_queries=10).orderBy("query_id", "rank").collect()
+    b = cosine_topk_np(emb, k=4, n_queries=10).orderBy("query_id", "rank").collect()
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in a] == [
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in b
+    ]
+    for x, y in zip(a, b):
+        assert abs(x["cos_sim"] - y["cos_sim"]) < 2e-6
 
 
 def test_ann_lsh_bucket_recall(spark):

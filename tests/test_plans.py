@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+be visible in .explain() output, not assumed."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from processor_post_timeseries_spark.operators.rollup import rollup_all_tiers
+from processor_post_timeseries_spark.sources.synth import sequences
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_tier_cascade_has_zero_shuffles(spark):
+    seq = sequences(spark, 10, seed=1)
+    tiers = rollup_all_tiers(seq, (("1s", 10), ("1m", 6), ("1h", 6)))
+    plan = _plan(tiers["1h"])
+    assert "Exchange" not in plan, plan  # the whole cascade is narrow
+
+
+def test_filter_and_projection_pushed_to_parquet(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sequences(spark, 50, seed=2).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("source") == "src-001")
+        .select("doc_id", "n_tok")
+    )
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*IsNotNull\(source\).*EqualTo\(source,src-001\)", plan), plan
+    read_schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "tokens" not in read_schema, read_schema  # column pruned
+
+
+def test_metadata_agg_never_reads_tokens(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    sequences(spark, 50, seed=3).write.parquet(path)
+    stats = spark.read.parquet(path).groupBy("source").agg(F.sum("n_tok").alias("total"))
+    plan = _plan(stats)
+    read_schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "tokens" not in read_schema, read_schema
+
+
+def test_small_dim_join_is_broadcast(spark, tmp_path):
+    big = sequences(spark, 200, seed=4)
+    dims = spark.createDataFrame(
+        [(f"src-{i:03d}", f"group{i % 3}") for i in range(16)], "source string, grp string"
+    )
+    plan = _plan(big.join(dims, "source"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_partition_pruning_on_bucketed_sink(spark, tmp_path):
+    from processor_post_timeseries_spark.operators.partitioning import with_bucket
+
+    path = str(tmp_path / "t3")
+    with_bucket(sequences(spark, 60, seed=5), 4).write.partitionBy("source", "bucket").parquet(path)
+    pruned = spark.read.parquet(path).filter((F.col("source") == "src-000") & (F.col("bucket") == 1))
+    plan = _plan(pruned)
+    # partition filters must hit the scan, not a post-filter
+    assert re.search(r"PartitionFilters: \[.*source.*src-000.*bucket.*1", plan) or (
+        "PartitionFilters" in plan and "src-000" in plan
+    ), plan
