@@ -854,3 +854,77 @@ _REGISTRY.update(
         "blocks_roundtrip": _q_blocks_roundtrip(),
     }
 )
+
+
+# ==========================================================================
+# Batch 3 — breadth: multidimensional aggs, pivot, window frames, set ops,
+# distinct aggregation. All shared-text (dialects agree on these).
+# ==========================================================================
+
+_CUBE_ROLLUP = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+_PIVOT_STATUS = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS open_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_RUNNING_WINDOW = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / COUNT(*) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS moving_avg_5
+FROM events WHERE user_id < 10
+"""
+
+_DISTINCT_AGG = """
+SELECT s.s_nationkey AS nationkey,
+       COUNT(DISTINCT l.l_partkey) AS n_distinct_parts,
+       COUNT(DISTINCT l.l_orderkey) AS n_distinct_orders
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+_SET_OPS = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+EXCEPT
+SELECT n_nationkey AS nationkey FROM nation WHERE n_name = 'CHINA'
+"""
+
+_EXISTS_SEMI = """
+SELECT p.p_brand, COUNT(*) AS n_parts
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+GROUP BY p.p_brand
+"""
+
+_REGISTRY.update(
+    {
+        "agg_grouping_sets": _shared(_CUBE_ROLLUP),
+        "agg_pivot_status": _shared(_PIVOT_STATUS),
+        "w6_running_frames": _shared(_RUNNING_WINDOW),
+        "agg_count_distinct": _shared(_DISTINCT_AGG),
+        "set_ops_union_except": _shared(_SET_OPS),
+        "j_semi_exists": _shared(_EXISTS_SEMI),
+    }
+)

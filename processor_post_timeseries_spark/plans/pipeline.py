@@ -42,6 +42,11 @@ class PipelineConfig:
     tiers: tuple = DEFAULT_TIERS
     run_id: str = field(default_factory=lineage.new_run_id)
     resume: bool = True
+    # per-stage metrics captured DURING the write pass via df.observe
+    # (operator A5: the reference's thread-safe progress counter,
+    # /root/reference/processor/importer.py:117-127, re-expressed with
+    # zero extra jobs)
+    metrics: dict = field(default_factory=dict)
     # single-pass blocks+tiers kernel (plans/ingest.py): one raw scan and
     # one Arrow transfer instead of two — the production mode for large
     # corpora; modular per-stage mode kept for operator-level reuse
@@ -72,12 +77,17 @@ def _write_stage(
     """
     import threading
 
+    from pyspark.sql import Observation
+
     path = f"{cfg.out_dir}/{stage}"
     key_cols = list(key_cols)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     # align task partitioning with the sink layout: without this every
     # task writes a file into every (source, bucket) dir it touches ->
     # tasks × partitions tiny files; with it, one task owns few dirs
     df.repartition(*key_cols).write.mode("overwrite").partitionBy(*key_cols).parquet(path)
+    cfg.metrics[stage] = obs.get
     # partition keys this run wrote, WITHOUT re-executing the stage plan:
     # derived from the (column-pruned) stage input, whose key set equals
     # the output's (bucket is a pure function of doc_id)

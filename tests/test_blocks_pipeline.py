@@ -100,3 +100,13 @@ def test_pipeline_noop_on_second_run(spark, tmp_path):
     run_pipeline(spark, seq, PipelineConfig(out_dir=out, tiers=tiers, n_buckets=2, run_id="r2"))
     ck = lineage.read_checkpoint(spark, out)
     assert ck.filter("run_id = 'r2'").count() == 0
+
+
+def test_observe_metrics_captured(spark, tmp_path):
+    seq = sequences(spark, 15, seed=6, min_tok=5, max_tok=60)
+    cfg = PipelineConfig(out_dir=str(tmp_path / "m"), tiers=(("1s", 10), ("1m", 6)), n_buckets=2)
+    run_pipeline(spark, seq, cfg)
+    # A5 analog: per-stage row counters captured during the write pass
+    assert cfg.metrics["blocks"]["rows_written"] == 15  # 1 block/doc at default size
+    tiers_rows = cfg.metrics["tiers"]["rows_written"]
+    assert tiers_rows == 15 * 2  # one row per doc per tier
