@@ -1,0 +1,106 @@
+"""spark-submit entrypoint for the rollup pipeline.
+
+Cluster:
+    spark-submit --master ... --py-files pts.zip -m processor_post_timeseries_spark.cli ...
+    (or: spark-submit --py-files pts.zip path/to/cli.py ...)
+
+Local smoke:
+    python -m processor_post_timeseries_spark.cli \
+        --input /path/sequences_parquet --out /path/out \
+        --tiers 1s:100,1m:60,1h:60 --block-size 131072 --buckets 32
+
+Synthesizes the corpus first when ``--synth-docs N`` is given instead of
+``--input``. Exits 0 and prints a one-line JSON summary (stages, rows,
+tokens/sec) on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+if __package__ in (None, ""):
+    # spark-submit executes this file as a plain script before the
+    # --py-files zip reaches sys.path; locate the package next to us
+    # (repo checkout or unpacked deploy). For zip-only deploys use
+    # ``PYTHONPATH=pts.zip spark-submit ...`` instead.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_tiers(spec: str) -> tuple[tuple[str, int], ...]:
+    out = []
+    for part in spec.split(","):
+        name, factor = part.split(":")
+        out.append((name, int(factor)))
+    return tuple(out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pts-spark")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="sequences table path (parquet/iceberg locator)")
+    src.add_argument("--synth-docs", type=int, help="synthesize N docs instead")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--tiers", default="1s:100,1m:60,1h:60")
+    ap.add_argument("--block-size", type=int, default=131_072)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--fused", action="store_true", help="single-pass blocks+tiers kernel")
+    ap.add_argument("--master", default=None, help="override master (default: env/local)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    # absolute imports: spark-submit executes this file as a plain script
+    # (no parent package), resolving the package from the --py-files zip
+    from processor_post_timeseries_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from processor_post_timeseries_spark.session import get_spark
+    from processor_post_timeseries_spark.sources.catalog import read_table
+    from processor_post_timeseries_spark.sources.synth import sequences
+
+    spark = get_spark("pts-cli", master=args.master)
+    seq = (
+        sequences(spark, args.synth_docs, seed=42)
+        if args.synth_docs
+        else read_table(spark, args.input)
+    )
+    n_tokens = seq.agg(F.sum("n_tok")).collect()[0][0] or 0
+
+    kw = dict(
+        out_dir=args.out,
+        block_size=args.block_size,
+        n_buckets=args.buckets,
+        tiers=parse_tiers(args.tiers),
+        resume=not args.no_resume,
+        fused_ingest=args.fused,
+    )
+    if args.run_id:
+        kw["run_id"] = args.run_id
+    cfg = PipelineConfig(**kw)
+    t0 = time.perf_counter()
+    paths = run_pipeline(spark, seq, cfg)
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "stages": sorted(paths),
+                "metrics": {k: dict(v) for k, v in cfg.metrics.items()},
+                "n_tokens": int(n_tokens),
+                "wall_sec": round(wall, 3),
+                "tokens_per_sec": int(n_tokens / wall) if wall else 0,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
