@@ -145,7 +145,7 @@ WITH first10 AS (
 )
 SELECT user_id,
        CAST(median(d) AS DOUBLE) AS median_delta_us,
-       CAST(ROUND(1e6 / median(d), 9) AS DOUBLE) AS inferred_rate_hz
+       CAST(ROUND(1e6 / NULLIF(median(d), 0), 9) AS DOUBLE) AS inferred_rate_hz
 FROM deltas WHERE d IS NOT NULL GROUP BY user_id
 """
 

@@ -108,3 +108,16 @@ def test_ragged_tail_and_tiny_docs(spark):
     joined = seq.join(t1.withColumnRenamed("source", "s2"), "doc_id")
     for r in joined.select("n_tok", "cnts").collect():
         assert sum(r["cnts"]) == r["n_tok"]
+
+
+def test_empty_token_arrays_survive_kernels(spark):
+    df = spark.createDataFrame(
+        [("d0", [], 0, "s"), ("d1", [5, 6, 7], 3, "s"), ("d2", [], 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = {r["doc_id"]: r for r in tier1_from_tokens(df, 2, "1s").collect()}
+    assert rows["d0"]["n_windows"] == 0 and list(rows["d0"]["sums"]) == []
+    assert list(rows["d1"]["sums"]) == [11, 7]
+    t2 = {r["doc_id"]: r for r in cascade_tier(tier1_from_tokens(df, 2, "1s"), 2, "1m").collect()}
+    assert t2["d2"]["n_windows"] == 0
+    assert list(t2["d1"]["sums"]) == [18]
