@@ -928,3 +928,16 @@ _REGISTRY.update(
         "j_semi_exists": _shared(_EXISTS_SEMI),
     }
 )
+
+
+def _q_ann_ivf():
+    def run(spark, sf_dir):
+        from .operators.similarity import ann_ivf_topk
+
+        load_views(spark, sf_dir)
+        return ann_ivf_topk(spark.table("embeddings"), k=5, n_clusters=8, nprobe=2)
+
+    return run, None  # iterative kmeans index: rows-only check
+
+
+_REGISTRY["ann_ivf_topk"] = _q_ann_ivf()

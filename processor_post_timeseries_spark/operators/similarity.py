@@ -185,3 +185,158 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+def ivf_build(emb: DataFrame, k: int = 16, iters: int = 3, vec: str = "embedding", id_col: str = "vec_id"):
+    """Deterministic IVF coarse quantizer: k centroids via Lloyd iterations
+    seeded from deterministically-chosen vectors (every (n/k)-th id) —
+    no RNG, so the index is reproducible run to run.
+
+    Returns a list of (cluster_id, centroid ndarray) — the coarse index is
+    tiny by construction and ships as a broadcast, like a real IVF
+    codebook. Training cost: ``iters`` distributed assign+mean passes.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n = emb.count()
+    step = max(n // k, 1)
+    seeds = (
+        emb.filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * k))
+        .orderBy(id_col)
+        .select(vec)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[0], np.float64) for r in seeds])[:k]
+
+    for _ in range(iters):
+        assign = _ivf_assign_df(emb, C, vec, id_col)
+        sums = (
+            assign.groupBy("cluster_id")
+            .agg(
+                F.aggregate(
+                    F.collect_list(vec),
+                    F.array_repeat(F.lit(0.0), C.shape[1]),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b.cast("double")),
+                ).alias("vsum"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        C = C.copy()
+        for r in sums:
+            C[r["cluster_id"]] = np.asarray(r["vsum"], np.float64) / r["n"]
+    return [(i, C[i]) for i in range(len(C))]
+
+
+def _ivf_assign_df(emb: DataFrame, C, vec: str, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment, one GEMM per Arrow batch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = emb.sparkSession.sparkContext.broadcast(np.asarray(C, np.float64))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(vec, T.ArrayType(T.FloatType()), False),
+            T.StructField("cluster_id", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm = bc.value
+        cn2 = (Cm * Cm).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
+            d2 = cn2[None, :] - 2.0 * (V @ Cm.T)  # ||v||^2 constant per row
+            pdf = pdf[[id_col, vec]].copy()
+            pdf["cluster_id"] = d2.argmin(1).astype(np.int32)
+            yield pdf
+
+    return emb.select(id_col, vec).mapInPandas(assign, schema=schema)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-ANN: exact cosine rank over the union of each query's nprobe
+    nearest clusters. Probe cost ~ nprobe/n_clusters of the corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    C = ivf_build(emb, n_clusters)
+    Cm = np.stack([c for _i, c in C])
+    assigned = _ivf_assign_df(emb, Cm, vec, id_col)
+
+    # query -> its nprobe nearest clusters (computed on the same GEMM path)
+    qa = _ivf_assign_df(emb, Cm, vec, id_col)  # nearest-1; widen below
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = emb.sparkSession.sparkContext.broadcast(Cm)
+    probe_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cluster_id", T.IntegerType(), False),
+        ]
+    )
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cm_ = bc.value
+        cn2 = (Cm_ * Cm_).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
+            d2 = cn2[None, :] - 2.0 * (V @ Cm_.T)
+            near = np.argsort(d2, axis=1)[:, :nprobe]
+            ids = pdf[id_col].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, nprobe),
+                    "cluster_id": near.reshape(-1).astype(np.int32),
+                }
+            )
+
+    qprobes = emb.select(id_col, vec).mapInPandas(probes, schema=probe_schema)
+    q = with_norm(emb, vec).select(
+        F.col(id_col).alias("query_id"), F.col(vec).alias("v_q"), F.col("norm").alias("norm_q")
+    ).join(qprobes.withColumnRenamed(id_col, "query_id"), "query_id")
+    c = with_norm(emb, vec).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("v_n"), F.col("norm").alias("norm_n")
+    ).join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), "cluster_id"), "neighbor_id"
+    )
+    sims = (
+        q.join(c, "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("v_q"), F.col("v_n")) / (F.col("norm_q") * F.col("norm_n")), 6),
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+        .distinct()  # a neighbor can appear via multiple probed clusters
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

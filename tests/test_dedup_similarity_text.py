@@ -149,3 +149,20 @@ def test_multimodal_plumbing(spark):
         extract_features(media, deterministic_fake=False).collect()
     plan = frame_sample_plan(media, every_n_bytes=4).collect()
     assert all(r["n_samples"] == len(r["sample_offsets"]) for r in plan)
+
+
+def test_ann_ivf_recall_on_clustered_data(spark):
+    from processor_post_timeseries_spark.operators.similarity import ann_ivf_topk
+
+    rng = np.random.default_rng(2)
+    rows = []
+    # 6 well-separated cluster centers, 10 members each
+    centers = rng.normal(size=(6, 8)) * 10
+    for i in range(60):
+        v = centers[i % 6] + rng.normal(size=8) * 0.2
+        rows.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist(), i % 6))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, k=1, n_queries=60).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(emb, k=1, n_clusters=6, nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
