@@ -36,6 +36,10 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # the driver supplies its own SparkSession — pin the tz so the
+    # NTZ -> timestamp cast below is UTC wall-clock (matching DuckDB's
+    # naive epoch_us) regardless of that session's defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         # parquet timestamps land as TIMESTAMP_NTZ in Spark 4; cast to
