@@ -1,24 +1,28 @@
 """N-vs-4N scaling evidence (BASELINE.md measurement protocol).
 
-Runs the identical rollup pipeline (same deterministic corpus, same
-configs) at local[8] and local[32] in fresh subprocesses, computes
-throughput scaling efficiency T32 / (4 * T8), and rewrites
-BENCH/BASELINE.md with the numbers.
+This shared VM's absolute throughput drifts ±30-45% over minutes
+(noisy-neighbor host), so a single (N, 4N) pair is not trustworthy.
+Protocol: run ALTERNATING back-to-back pairs — local[2] then local[8],
+repeated ``pairs`` times over one pre-synthesized corpus — compute the
+per-pair efficiency T(4N)/(4·T(N)) (adjacent in time, so drift largely
+cancels), and report the MEDIAN plus every sample. Rewrites
+BENCH/BASELINE.md.
 
-Usage: python tools/scaling_bench.py [n_docs]
+Usage: python tools/scaling_bench.py [n_docs] [pairs]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
 N_CPUS, N4_CPUS = 2, 8  # one 2-core executor vs four (see BASELINE.md note)
+CORPUS = "/dev/shm/pts_scale_corpus"
 
 
 def run_at(cpus: int, n_docs: int) -> dict:
@@ -27,9 +31,10 @@ def run_at(cpus: int, n_docs: int) -> dict:
         {
             "SPARK_GRAFT_CPUS": str(cpus),
             "PTS_BENCH_DOCS": str(n_docs),
+            "PTS_BENCH_INPUT": CORPUS,
             # tmpfs work dir: the single VM disk is a shared resource a
             # real cluster doesn't have (same argument as the memory-bus
-            # note below); scaling is measured on the compute path
+            # note in BASELINE.md); scaling measures the compute path
             "PTS_BENCH_OUT": f"/dev/shm/pts_scale_{cpus}",
             "SPARK_GRAFT_SF_DIR": env.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
             "PTS_BENCH_SKIP_QUERIES": "1",
@@ -42,62 +47,96 @@ def run_at(cpus: int, n_docs: int) -> dict:
         text=True,
         timeout=3600,
     )
-    import shutil
-
     shutil.rmtree(env["PTS_BENCH_OUT"], ignore_errors=True)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_300_000
-    r8 = run_at(N_CPUS, n_docs)
-    r32 = run_at(N4_CPUS, n_docs)
-    t8, t32 = r8["tokens_per_sec"], r32["tokens_per_sec"]
-    eff = t32 / (4 * t8)
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    shutil.rmtree(CORPUS, ignore_errors=True)
+
+    samples = []
+    meta = None
+    for p in range(pairs):
+        rn = run_at(N_CPUS, n_docs)  # first call synthesizes the corpus
+        r4 = run_at(N4_CPUS, n_docs)
+        meta = rn
+        samples.append(
+            {
+                "pair": p,
+                "t_n": rn["tokens_per_sec"],
+                "t_4n": r4["tokens_per_sec"],
+                "wall_n": rn["queries"]["rollup_pipeline"],
+                "wall_4n": r4["queries"]["rollup_pipeline"],
+                "efficiency": round(r4["tokens_per_sec"] / (4 * rn["tokens_per_sec"]), 3),
+            }
+        )
+        print(json.dumps(samples[-1]), flush=True)
+    shutil.rmtree(CORPUS, ignore_errors=True)
+
+    effs = [s["efficiency"] for s in samples]
+    med = statistics.median(effs)
+    rows = "\n".join(
+        f"| {s['pair']} | {s['wall_n']} | {s['t_n']:,} | {s['wall_4n']} | {s['t_4n']:,} | {s['efficiency']} |"
+        for s in samples
+    )
     md = f"""# BENCH/BASELINE.md — measured engine numbers
 
 ## Scaling efficiency (N vs 4N, sandbox protocol per BASELINE.md)
 
-Identical job — deterministic synth corpus ({r8["n_docs"]:,} docs,
-{r8["n_tokens"]:,} tokens), same code/configs, raw -> blocks(+DoD codec)
-+ 1s/1m/1h tier cascade with lineage checkpointing — at two parallelism
-levels:
+Identical job — deterministic synth corpus ({meta["n_docs"]:,} docs,
+{meta["n_tokens"]:,} tokens, shared across all legs), raw -> blocks
+(+DoD codec) + 1s/1m/1h tier cascade with lineage checkpointing — as
+ALTERNATING back-to-back pairs at two parallelism levels, because this
+shared VM's absolute throughput drifts ±30-45% over minutes; adjacent
+pairing cancels the drift and the median is reported:
 
-| master | wall (s) | tokens/sec |
-|---|---|---|
-| local[{N_CPUS}]  (N = one 2-core executor)  | {r8["queries"]["rollup_pipeline"]} | {t8:,} |
-| local[{N4_CPUS}] (4N = four 2-core executors) | {r32["queries"]["rollup_pipeline"]} | {t32:,} |
+| pair | wall N=local[2] (s) | tokens/s N | wall 4N=local[8] (s) | tokens/s 4N | efficiency |
+|---|---|---|---|---|---|
+{rows}
 
-**Scaling efficiency = T(4N) / (4 x T(N)) = {eff:.3f}** (target >= 0.8).
+**Median scaling efficiency = {med:.3f}** (target >= 0.8;
+per-pair efficiency = T(4N) / (4 x T(N))).
 
-Why N=2: this sandbox is one VM whose memory bandwidth saturates at
-~8-12 heavy threads (measured: a 32-thread run of the same job is
-SLOWER than 8 threads in absolute terms — numpy/Arrow work is
-bandwidth-bound and local threads share one memory bus, unlike real
-executors which each bring their own). N and 4N are therefore chosen
-below the knee so the measurement reflects the engine's scaling
-behavior, not the host's bus. On a real cluster each executor adds
-bandwidth, which is exactly what this protocol emulates.
+Why N=2 (one 2-core executor) vs 4N=8: this sandbox is one VM whose
+memory bandwidth saturates at ~8-12 heavy threads (measured: a
+32-thread run of the same job is SLOWER than 8 threads absolute —
+numpy/Arrow work is bandwidth-bound and local threads share one memory
+bus, unlike real executors which each bring their own). N and 4N are
+chosen below the knee so the measurement reflects the engine's scaling
+behavior, not the host's bus; on a real cluster each executor adds its
+own bandwidth, which is what this emulates.
 
-Extrapolation assumptions to a real 1000-executor cluster: all pipeline
-stages are narrow maps (zero wide dependencies; see
-plans/pipeline.py "shuffle census"), so scaling is limited only by input
-split balance (controlled by salt buckets) and fixed per-job overheads
-(amortized at real corpus sizes); local-mode shuffle-through-driver-disk
-is absent here precisely because the plan has no shuffles in the timed
-path other than the sink-alignment repartition of already-reduced data.
+Extrapolation to a real 1000-executor cluster: all pipeline stages are
+narrow maps (zero wide dependencies; see plans/pipeline.py "shuffle
+census"), so scaling is limited only by input split balance (controlled
+by salt buckets) and fixed per-job overheads (amortized at real corpus
+sizes).
 
 ## Reference comparison
 
 The reference (Pennsieve/processor-post-timeseries) publishes no
-benchmark numbers (BASELINE.md); its pipeline is single-node
-ThreadPool gzip+write. Throughput above is the engine's own baseline to
-beat round over round.
+benchmark numbers (BASELINE.md at repo root); its pipeline is a
+single-node ThreadPool gzip+write. Throughput above is the engine's own
+baseline to beat round over round.
+
+## Optimization log (what moved the needle this round)
+
+| change | effect |
+|---|---|
+| 48g -> 8g pre-touched heap | local[32] mapInPandas 10x faster (young-gen zeroing is bandwidth-bound) |
+| ufunc.reduceat batch kernels (per Arrow batch, not per doc) | removes per-doc Python overhead from tier rollup |
+| lineage keys from stage *input* | stops a full re-execution of the encode plan per stage |
+| concurrent blocks/tiers jobs + async lineage | fills idle cores when a stage's task count < cores |
+| GEMM pandas kernel for ANN top-k | 10x on the ann_cosine_topk bench query |
+| fused single-pass blocks+tiers kernel | REJECTED: measured 1.5x slower (padding + wider Arrow frames); kept as opt-in plans/ingest.py |
+| alternating-pairs scaling protocol | cancels +-30-45% host drift a single pair cannot |
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(eff, 3)}))
+    print(json.dumps({"median_efficiency": med, "samples": effs}))
 
 
 if __name__ == "__main__":
