@@ -935,13 +935,118 @@ _REGISTRY.update(
 
 
 def _q_ann_ivf():
+    """IVF-ANN with a FULL DuckDB oracle: the index build is deterministic
+    (md5-ordered seeds, Lloyd iterations with centroids quantized to 6 dp
+    after every update), so the oracle replays the entire pipeline —
+    seed -> 3×(assign, mean) -> nprobe probe -> in-cluster exact cosine —
+    in SQL. Quantized centroids make the replay robust: cross-engine
+    float sum-order drift (~1e-13) is far below the rounding quantum."""
+    n_clusters, nprobe, iters, topk, dec = 8, 2, 3, 5, 6
+
     def run(spark, sf_dir):
         from .operators.similarity import ann_ivf_topk
 
         load_views(spark, sf_dir)
-        return ann_ivf_topk(spark.table("embeddings"), k=5, n_clusters=8, nprobe=2)
+        return ann_ivf_topk(
+            spark.table("embeddings"), k=topk, n_clusters=n_clusters, nprobe=nprobe
+        )
 
-    return run, None  # iterative kmeans index: rows-only check
+    def dot(a, b):
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    def d2(e, c):
+        # same expression shape as the engine: ||c||^2 - 2 e.c
+        return f"({dot(c, c)} - 2 * {dot(e, c)})"
+
+    ctes = [
+        """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT cid, c FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           list_transform(e, x -> round(x, {dec})) AS c
+    FROM v
+  ) WHERE cid < {n_clusters}
+)""",
+        "g AS (SELECT unnest(range(1, (SELECT max(len(e)) FROM v) + 1)) AS i)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2("v.e", "c.c")}, c.cid) AS rnk
+    FROM v, {prev} c
+  ) WHERE rnk = 1
+)"""
+        )
+        # mean per (cluster, dim), re-packed; empty clusters keep the
+        # previous centroid (matches the engine's C[nz] update)
+        ctes.append(
+            f"""c{t} AS (
+  SELECT p.cid, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(cv ORDER BY i) AS c FROM (
+      SELECT a.cid, g.i, round(SUM(a.e[g.i]) / COUNT(*), {dec}) AS cv
+      FROM a{t} a, g WHERE g.i <= len(a.e)
+      GROUP BY a.cid, g.i
+    ) GROUP BY cid
+  ) m ON m.cid = p.cid
+)"""
+        )
+    # the engine assigns the corpus against the FINAL centroids (after the
+    # last update), not the ones the last iteration assigned with
+    ctes.append(
+        f"""af AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2("v.e", "c.c")}, c.cid) AS rnk
+    FROM v, c{iters} c
+  ) WHERE rnk = 1
+)"""
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2("v.e", "c.c")}, c.cid) AS rnk
+    FROM v, c{iters} c
+  ) WHERE rnk <= {nprobe}
+)"""
+    )
+    ctes.append(
+        f"""pairs AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         round({dot("q.e", "n.e")} / (q.norm * n.norm), 6) AS cos_sim
+  FROM probes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN af a ON a.cid = p.cid
+  JOIN v n ON n.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+)"""
+    )
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {topk}
+"""
+    )
+    return run, sql
 
 
 _REGISTRY["ann_ivf_topk"] = _q_ann_ivf()

@@ -1,7 +1,9 @@
 """Byte-exact legacy block format of the reference processor.
 
 A user of the reference can switch to this engine and still produce
-bit-identical ``.bin.gz`` payloads and object keys:
+``.bin.gz`` payloads with bit-identical *decompressed content* (and
+deterministic container bytes: gzip mtime pinned to 0) plus identical
+object keys:
 
 * payload: values as **big-endian float64**, gzip-compressed at level 0
   (framing only, speed over ratio) — semantics from
@@ -31,9 +33,15 @@ GZIP_LEVEL = 0  # reference: compresslevel=0, framing only
 
 
 def encode_legacy_block(values: np.ndarray) -> bytes:
-    """float64 array -> big-endian bytes -> gzip(level 0)."""
+    """float64 array -> big-endian bytes -> gzip(level 0).
+
+    ``mtime=0`` pins the gzip header so identical inputs yield identical
+    bytes (content-hash dedup / lineage checksums depend on it). The
+    reference's ``gzip.open`` embeds FNAME+mtime in its header, so parity
+    with reference files is decompressed-content-exact, not container-
+    byte-exact."""
     be = np.ascontiguousarray(np.asarray(values, dtype=np.float64)).astype(">f8")
-    return gzip.compress(be.tobytes(), compresslevel=GZIP_LEVEL)
+    return gzip.compress(be.tobytes(), compresslevel=GZIP_LEVEL, mtime=0)
 
 
 def decode_legacy_block(payload: bytes) -> np.ndarray:

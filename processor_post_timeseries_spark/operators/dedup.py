@@ -71,9 +71,11 @@ def ngram_jaccard_pairs(
     """Exact pairwise n-gram Jaccard ≥ threshold: (doc_a, doc_b, jaccard).
 
     Inverted-index pair generation — only doc pairs sharing ≥1 shingle
-    are ever materialized (never a cross join).
+    are ever materialized (never a cross join). The shingle table is NOT
+    cached: at corpus scale it dwarfs RAM, and this op is documented as a
+    post-LSH verification stage over a small candidate set anyway.
     """
-    sh = shingles(docs, n, id_col=id_col).cache()
+    sh = shingles(docs, n, id_col=id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

@@ -103,6 +103,8 @@ def tier1_from_tokens(seq_df: DataFrame, window: int, tier: str = "1s") -> DataF
 
     def agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             arrays = [np.asarray(t) for t in pdf["tokens"]]
             mins, maxs, sums, cnts, nws = _batch_window_stats(arrays, window)
             bounds = np.cumsum(nws)[:-1] if len(nws) else []

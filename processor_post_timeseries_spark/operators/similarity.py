@@ -190,46 +190,93 @@ def ann_lsh_topk(
 # ----------------------------------------------------------------- IVF ANN
 
 
-def ivf_build(emb: DataFrame, k: int = 16, iters: int = 3, vec: str = "embedding", id_col: str = "vec_id"):
-    """Deterministic IVF coarse quantizer: k centroids via Lloyd iterations
-    seeded from deterministically-chosen vectors (every (n/k)-th id) —
-    no RNG, so the index is reproducible run to run.
+def ivf_build(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_decimals: int = 6,
+):
+    """Deterministic IVF coarse quantizer: k centroids via Lloyd iterations.
 
-    Returns a list of (cluster_id, centroid ndarray) — the coarse index is
-    tiny by construction and ships as a broadcast, like a real IVF
-    codebook. Training cost: ``iters`` distributed assign+mean passes.
+    * Seeds: the k vectors with the smallest ``(md5(id), id)`` sort key —
+      a deterministic pseudo-random spread that is a distributed top-k
+      (TakeOrdered, no global sort), robust to sparse / non-zero-based
+      ids, and replayable by the DuckDB oracle (md5 is md5).
+    * Centroid update: each task emits ONE ``(cluster_id, vec_sum, n)``
+      partial per Arrow batch — at most k × n_batches tiny rows ever
+      leave the executors, never member vectors (the r1 collect_list
+      update was the engine's one OOM-at-scale path).
+    * Centroids are quantized (rounded to ``centroid_decimals``) after
+      every update: the codebook is exactly representable, so an
+      independent engine replaying Lloyd from the same data converges to
+      bit-identical centroids (float sum-order drift ≪ the quantum).
+
+    Returns a list of (cluster_id, centroid ndarray) — the coarse index
+    is tiny by construction and ships as a broadcast, like a real IVF
+    codebook. Training cost: ``iters`` distributed assign+partial-sum
+    passes.
     """
     import numpy as np
-    from pyspark.sql import functions as F
 
-    n = emb.count()
-    step = max(n // k, 1)
     seeds = (
-        emb.filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * k))
-        .orderBy(id_col)
-        .select(vec)
+        emb.select(id_col, vec)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
         .collect()
     )
-    C = np.stack([np.asarray(r[0], np.float64) for r in seeds])[:k]
+    if not seeds:
+        raise ValueError("ivf_build: input has no vectors")
+    C = np.round(np.stack([np.asarray(r[1], np.float64) for r in seeds]), centroid_decimals)
+    kk, dim = C.shape
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.IntegerType(), False),
+            T.StructField("vsum", T.ArrayType(T.DoubleType()), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
 
     for _ in range(iters):
-        assign = _ivf_assign_df(emb, C, vec, id_col)
-        sums = (
-            assign.groupBy("cluster_id")
-            .agg(
-                F.aggregate(
-                    F.collect_list(vec),
-                    F.array_repeat(F.lit(0.0), C.shape[1]),
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b.cast("double")),
-                ).alias("vsum"),
-                F.count("*").alias("n"),
-            )
-            .collect()
-        )
+        bc = emb.sparkSession.sparkContext.broadcast(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cm = bc.value
+            cn2 = (Cm * Cm).sum(1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
+                a = (cn2[None, :] - 2.0 * (V @ Cm.T)).argmin(1)
+                sums = np.zeros((kk, dim))
+                np.add.at(sums, a, V)
+                cnt = np.bincount(a, minlength=kk)
+                nz = np.flatnonzero(cnt)
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": nz.astype(np.int32),
+                        "vsum": [sums[i] for i in nz],
+                        "n": cnt[nz].astype(np.int64),
+                    }
+                )
+
+        rows = emb.select(vec).mapInPandas(partials, schema=partial_schema).collect()
+        S = np.zeros((kk, dim))
+        N = np.zeros(kk, np.int64)
+        for r in rows:
+            S[r["cluster_id"]] += np.asarray(r["vsum"], np.float64)
+            N[r["cluster_id"]] += r["n"]
+        nzc = N > 0
         C = C.copy()
-        for r in sums:
-            C[r["cluster_id"]] = np.asarray(r["vsum"], np.float64) / r["n"]
-    return [(i, C[i]) for i in range(len(C))]
+        C[nzc] = np.round(S[nzc] / N[nzc, None], centroid_decimals)
+    return [(i, C[i]) for i in range(kk)]
 
 
 def _ivf_assign_df(emb: DataFrame, C, vec: str, id_col: str) -> DataFrame:
@@ -282,9 +329,6 @@ def ann_ivf_topk(
     Cm = np.stack([c for _i, c in C])
     assigned = _ivf_assign_df(emb, Cm, vec, id_col)
 
-    # query -> its nprobe nearest clusters (computed on the same GEMM path)
-    qa = _ivf_assign_df(emb, Cm, vec, id_col)  # nearest-1; widen below
-
     from collections.abc import Iterator
 
     import pandas as pd
@@ -306,7 +350,9 @@ def ann_ivf_topk(
                 continue
             V = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
             d2 = cn2[None, :] - 2.0 * (V @ Cm_.T)
-            near = np.argsort(d2, axis=1)[:, :nprobe]
+            # stable sort: ties fall to the lower cluster_id, matching the
+            # oracle's ORDER BY (d2, cluster_id)
+            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             ids = pdf[id_col].to_numpy(np.int64)
             yield pd.DataFrame(
                 {

@@ -51,9 +51,13 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # parse local[N] to size shuffles to actual parallelism
-        n = master.split("[")[-1].rstrip("]") if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+        # parse local[N] / local[N,maxFailures] to size shuffles to actual
+        # parallelism; any unparseable form ('*', yarn, spark://…) -> cpus
+        n = master.split("[")[-1].rstrip("]").split(",")[0] if "[" in master else ""
+        try:
+            shuffle_partitions = max(int(n), 1)
+        except ValueError:
+            shuffle_partitions = cpus
 
     b = (
         SparkSession.builder.appName(app_name)
