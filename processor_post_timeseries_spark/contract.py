@@ -831,13 +831,52 @@ FROM documents WHERE length(text) > 0
 
 
 def _q_simhash():
+    """SimHash is md5-derived, so DuckDB can replay it bit-exactly: decode
+    the first 8 md5 bytes per unique (doc, word) via hex-digit lookup
+    (little-endian uint64, matching numpy's frombuffer), pivot 64 bit-vote
+    sums in one grouped scan, and pack the sign bits into a signed BIGINT
+    (bit 63 contributes INT64_MIN — two's-complement wrap, matching the
+    engine's uint64 -> int64 view)."""
+
     def run(spark, sf_dir):
         from .operators.dedup import simhash64
 
         load_views(spark, sf_dir)
         return simhash64(spark.table("documents"))
 
-    return run, None  # bit-level sketch: rows-only check
+    hexd = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    # byte j (0-based) of the md5 digest = two hex digits at 2j+1, 2j+2
+    vote_cols = []
+    for b in range(64):
+        j, s = b // 8, b % 8
+        hi = hexd.format(p=2 * j + 1)
+        lo = hexd.format(p=2 * j + 2)
+        byte = f"(({hi}) * 16 + ({lo}))"
+        vote_cols.append(
+            f"SUM(CASE WHEN ({byte} >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    votes = ",\n         ".join(vote_cols)
+    terms = []
+    for b in range(64):
+        c = -(2**63) if b == 63 else 2**b
+        terms.append(f"CASE WHEN v.v{b} > 0 THEN CAST({c} AS BIGINT) ELSE 0 END")
+    packed = " + ".join(terms)
+    return run, f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), fp AS (
+  SELECT doc_id, md5(w) AS h FROM w
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM fp GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       COALESCE({packed}, 0) AS simhash
+FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
+"""
 
 
 _REGISTRY.update(

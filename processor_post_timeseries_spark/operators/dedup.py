@@ -100,37 +100,115 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature per doc: (doc_id, h00..hNN) — min md5 hex string
-    per seeded hash family. Portable across engines (md5 is md5)."""
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash signature per doc: (doc_id, h00..hNN) — min per seeded hash
+    family.
+
+    ``hash_fn="md5"``: min md5 *hex string* — portable across engines
+    (the DuckDB oracle reproduces it verbatim), but each signature cell
+    shuffles 32 B. ``hash_fn="xxh64"``: min ``xxhash64(seed, shingle)``
+    int64 — the production path: 4× less signature shuffle (8 B/cell),
+    JVM-native hashing, same LSH guarantees (any uniform family works).
+    """
     sh = shingles(docs, n, id_col=id_col)
-    aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("shingle")))).alias(f"h{k:02d}")
-        for k in range(n_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("shingle")))).alias(f"h{k:02d}")
+            for k in range(n_hashes)
+        ]
+    elif hash_fn == "xxh64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(str(k)), F.col("shingle"))).alias(f"h{k:02d}")
+            for k in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, n_hashes: int = 16, n_bands: int = 4, n: int = 3, id_col: str = "doc_id"
+def _cap_bucket_size(df: DataFrame, keys: list[str], id_col: str, cap: int | None) -> DataFrame:
+    """Bound LSH self-join bucket sizes (skew guard): keep the ``cap``
+    smallest ids per bucket — deterministic truncation. A degenerate
+    corpus (thousands of identical docs) otherwise puts them all in one
+    band bucket and the self-join goes quadratic inside a single
+    AQE-unsplittable group. Rank-in-bucket is a sort, never a pair
+    explosion. Dropped docs are countable via ``lsh_bucket_stats``."""
+    if cap is None:
+        return df
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket: (doc_a, doc_b, n_bands_shared)."""
+    """Per-band-bucket occupancy + how many docs the skew cap would drop:
+    (band_no, band_hash, n_docs, n_dropped). Feed this to pipeline
+    logging so capped runs report their drop count."""
+    allbands = _band_buckets(docs, n_hashes, n_bands, n, id_col, hash_fn)
+    cap = max_bucket_size if max_bucket_size is not None else 2**62
+    return allbands.groupBy("band_no", "band_hash").agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.count("*") - F.lit(cap), F.lit(0)).alias("n_dropped"),
+    )
+
+
+def _band_buckets(
+    docs: DataFrame, n_hashes: int, n_bands: int, n: int, id_col: str, hash_fn: str
+) -> DataFrame:
     assert n_hashes % n_bands == 0
     r = n_hashes // n_bands
-    sig = minhash_signatures(docs, n_hashes, n, id_col=id_col)
+    sig = minhash_signatures(docs, n_hashes, n, id_col=id_col, hash_fn=hash_fn)
     bands = []
     for b in range(n_bands):
         cols = [f"h{b * r + i:02d}" for i in range(r)]
+        band_hash = (
+            F.md5(F.concat_ws("|", *cols))
+            if hash_fn == "md5"
+            else F.xxhash64(*[F.col(c) for c in cols]).cast("string")
+        )
         bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_no"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+            sig.select("doc_id", F.lit(b).alias("band_no"), band_hash.alias("band_hash"))
         )
     allbands = bands[0]
     for b in bands[1:]:
         allbands = allbands.unionByName(b)
+    return allbands
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket: (doc_a, doc_b,
+    n_bands_shared). ``max_bucket_size`` caps each band bucket before the
+    self-join (see ``_cap_bucket_size``); buckets below the cap —
+    i.e. every bucket at sane duplication rates — are returned exactly."""
+    allbands = _band_buckets(docs, n_hashes, n_bands, n, id_col, hash_fn)
+    allbands = _cap_bucket_size(allbands, ["band_no", "band_hash"], "doc_id", max_bucket_size)
     return (
         allbands.alias("a")
         .join(allbands.alias("b"), ["band_no", "band_hash"])
@@ -149,42 +227,67 @@ _SIMHASH_SCHEMA = T.StructType(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word features (Charikar'02): per word take an
-    md5-derived 64-bit fingerprint, sum ±1 per bit position, sign -> bit.
-    Vectorized numpy inside mapInPandas; not SQL-expressible."""
+    """64-bit SimHash over word features (Charikar'02): per unique word of
+    a doc take the first 8 md5 bytes as a little-endian uint64
+    fingerprint, sum ±1 votes per bit position, sign -> bit.
+
+    Batch-vectorized: the sub-chunk's unique-WORD table is md5-hashed
+    once (each distinct word hashed exactly once per chunk, however many
+    docs share it), docs index into it via ``pd.factorize``, and the
+    per-doc bit votes are one ``np.add.reduceat`` — no per-doc Python
+    loop in the hot path. md5 keeps the fingerprints engine-portable, so
+    the result is certified by a full DuckDB oracle."""
     import hashlib
+
+    _BITS = np.arange(64, dtype=np.uint64)
+    CHUNK = 2048  # docs per vectorized inner pass (bounds the F×64 votes buffer)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
-            for doc, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in str(text).split(" ") if w]
-                if not words:
-                    ids.append(str(doc))
-                    hashes.append(0)
-                    continue
-                fps = np.frombuffer(
-                    b"".join(hashlib.md5(w.encode()).digest()[:8] for w in set(words)),
-                    dtype=np.uint64,
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            for lo in range(0, len(pdf), CHUNK):
+                sub = pdf.iloc[lo : lo + CHUNK].reset_index(drop=True)
+                ids = sub[id_col].astype(str)
+                ex = sub[text_col].astype(str).str.split(" ").explode()
+                ex = ex[ex != ""]
+                # per-doc unique words, order-stable (votes are order-free)
+                dd = pd.DataFrame({"d": ex.index, "w": ex.to_numpy()}).drop_duplicates()
+                out = np.zeros(len(sub), np.uint64)
+                if len(dd):
+                    codes, uniq = pd.factorize(dd["w"].to_numpy())
+                    fps = np.frombuffer(
+                        b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniq),
+                        dtype=np.uint64,
+                    )
+                    bits = ((fps[:, None] >> _BITS) & np.uint64(1)).astype(np.int32)
+                    d = dd["d"].to_numpy()  # sorted ascending (explode order)
+                    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+                    ones = np.add.reduceat(bits[codes], starts, axis=0)
+                    n_words = np.diff(np.r_[starts, len(d)])
+                    votes = 2 * ones - n_words[:, None]
+                    packed = ((votes > 0).astype(np.uint64) << _BITS).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    out[d[starts]] = packed
+                yield pd.DataFrame(
+                    {"doc_id": ids, "simhash": out.astype(np.int64)}
                 )
-                bits = ((fps[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                    np.int64
-                )
-                votes = (2 * bits - 1).sum(axis=0)
-                sim = np.uint64(0)
-                sim = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-                ids.append(str(doc))
-                hashes.append(int(sim.sum().astype(np.int64)))
-            yield pd.DataFrame({"doc_id": ids, "simhash": pd.array(hashes, dtype="int64")})
 
     return docs.select(F.col(id_col).cast("string").alias(id_col), text_col).mapInPandas(
         run, schema=_SIMHASH_SCHEMA
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = 1000
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k, banded on 16-bit
-    chunks (a pair within hamming 3 shares at least one of 4 chunks)."""
+    chunks (a pair within hamming 3 shares at least one of 4 chunks).
+    ``max_bucket_size`` caps chunk buckets before the self-join — the
+    same skew guard as ``lsh_candidate_pairs`` (identical docs all share
+    all four chunks)."""
     sig = simhash64(docs)
     chunks = [
         sig.select(
@@ -198,6 +301,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     allc = chunks[0]
     for c in chunks[1:]:
         allc = allc.unionByName(c)
+    allc = _cap_bucket_size(allc, ["chunk_no", "chunk"], "doc_id", max_bucket_size)
     cand = (
         allc.alias("a")
         .join(allc.alias("b"), ["chunk_no", "chunk"])

@@ -160,10 +160,21 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8, vec: str = "embedding", id_co
 
 
 def ann_lsh_topk(
-    emb: DataFrame, k: int = 5, n_planes: int = 8, vec: str = "embedding", id_col: str = "vec_id"
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking *within* LSH bucket."""
+    """Approximate top-k: exact cosine ranking *within* LSH bucket.
+    ``max_bucket_size`` caps bucket occupancy before the self-join (skew
+    guard: a degenerate corpus of near-identical vectors lands in one
+    sign-sketch bucket and the join goes quadratic)."""
+    from .dedup import _cap_bucket_size
+
     b = lsh_buckets(emb, n_planes, vec, id_col)
+    b = _cap_bucket_size(b, ["bucket"], id_col, max_bucket_size)
     v = with_norm(emb, vec).join(b, id_col)
     a = v.select(
         F.col(id_col).alias("query_id"), F.col(vec).alias("v_q"), F.col("norm").alias("norm_q"), "bucket"

@@ -166,3 +166,67 @@ def test_ann_ivf_recall_on_clustered_data(spark):
     approx = {(r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(emb, k=1, n_clusters=6, nprobe=2).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_lsh_hot_bucket_cap_bounds_skew(spark):
+    """1k identical docs: uncapped banding would emit ~500k pairs per band
+    (quadratic in one bucket); the cap bounds the self-join and
+    lsh_bucket_stats reports exactly what was dropped."""
+    from processor_post_timeseries_spark.operators.dedup import lsh_bucket_stats
+
+    rows = [(f"x{i:04d}", "same exact text repeated for every single doc here", "s")
+            for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    capped = lsh_candidate_pairs(docs, 16, 4, max_bucket_size=50)
+    n_pairs = capped.count()
+    assert n_pairs == 50 * 49 // 2  # only the 50 kept docs pair up
+    stats = lsh_bucket_stats(docs, 16, 4, max_bucket_size=50)
+    drops = {r["band_no"]: r["n_dropped"] for r in stats.collect()}
+    assert all(d == 950 for d in drops.values()) and len(drops) == 4
+    # sanity: identical docs all landed in one bucket per band
+    assert all(r["n_docs"] == 1000 for r in stats.collect())
+
+
+def test_simhash_near_pairs_cap(spark):
+    rows = [(f"x{i:04d}", "same exact text repeated for every single doc here", "s")
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    pairs = simhash_near_pairs(docs, max_hamming=3, max_bucket_size=20)
+    assert pairs.count() == 20 * 19 // 2
+
+
+def test_minhash_xxh64_matches_md5_pair_set(spark):
+    """The 64-bit production hash family finds the same near-dup pairs as
+    the md5 oracle family on the fixture corpus (different minima, same
+    LSH collisions for truly-similar docs)."""
+    md5_pairs = {(r["doc_a"], r["doc_b"])
+                 for r in lsh_candidate_pairs(_docs(spark), 16, 4, hash_fn="md5").collect()}
+    x64_pairs = {(r["doc_a"], r["doc_b"])
+                 for r in lsh_candidate_pairs(_docs(spark), 16, 4, hash_fn="xxh64").collect()}
+    assert ("d1", "d2") in x64_pairs  # exact dup always collides
+    assert md5_pairs == x64_pairs
+
+
+def test_simhash_vectorized_reference(spark):
+    """Golden: the batch-vectorized simhash matches an independent
+    per-doc reimplementation of Charikar sign-votes over md5 bits."""
+    import hashlib
+
+    import numpy as np
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    for doc_id, text, _src in DOCS:
+        words = set(w for w in text.split(" ") if w)
+        if not words:
+            assert got[doc_id] == 0
+            continue
+        votes = np.zeros(64, np.int64)
+        for w in words:
+            fp = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+            for b in range(64):
+                votes[b] += 1 if (fp >> b) & 1 else -1
+        expect = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                expect |= np.uint64(1) << np.uint64(b)
+        assert got[doc_id] == int(expect.astype(np.int64)), doc_id
