@@ -899,6 +899,313 @@ _REGISTRY.update(
 )
 
 
+def _q_s6_channel_metadata():
+    """S6 sink + P12 round-trip parity: emit the reference's full channel
+    metadata JSON (name/start/end/unit/rate/type/group/lastAnnotation/
+    properties[, id] — id omitted when null, reference
+    timeseries_channel.py:37-53), then parse it back through the
+    from_dict-equivalent (channelType alias + defaulting) and certify the
+    extracted fields. The oracle rebuilds the same JSON string byte-exact
+    with DuckDB json_object."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.legacy import (
+            channel_from_json,
+            channel_metadata_json,
+            legacy_metadata_key,
+        )
+
+        load_views(spark, sf_dir)
+        ext = (
+            spark.table("events")
+            .groupBy("user_id")
+            .agg(
+                F.min(F.unix_micros("ts")).alias("start_us"),
+                F.max(F.unix_micros("ts")).alias("end_us"),
+                F.count("*").alias("n"),
+            )
+        )
+        # samples/day keeps the double in the plain-decimal print range
+        # ([1e-3, 1e7)): Spark's Jackson and DuckDB's formatter agree there
+        # but diverge on scientific notation (2.2E-5 vs 0.000022)
+        rate = F.round(
+            F.col("n") * 86400000000.0 / (F.col("end_us") - F.col("start_us")), 6
+        )
+        props = F.array(
+            F.struct(F.lit("src").alias("key"), F.lit("events").alias("value")),
+            F.struct(
+                F.lit("uid").alias("key"), F.col("user_id").cast("string").alias("value")
+            ),
+        )
+        cid = F.when(
+            F.col("user_id") % 2 == 0,
+            F.concat(F.lit("N:channel:"), F.col("user_id").cast("string")),
+        )
+        j = channel_metadata_json(
+            name=F.concat(F.lit(" ch-"), F.col("user_id").cast("string"), F.lit(" ")),
+            start_us=F.col("start_us"),
+            end_us=F.col("end_us"),
+            rate=rate,
+            group=F.lit("default"),
+            channel_type=F.lit("continuous"),
+            properties=props,
+            id=cid,
+        )
+        with_json = ext.select(
+            "user_id",
+            legacy_metadata_key(F.col("user_id")).alias("meta_key"),
+            j.alias("channel_json"),
+        )
+        p = channel_from_json(F.col("channel_json"))
+        return with_json.select(
+            "user_id",
+            "meta_key",
+            "channel_json",
+            p["name"].alias("rt_name"),
+            p["type"].alias("rt_type"),
+            p["type_valid"].alias("rt_type_valid"),
+            p["rate"].alias("rt_rate"),
+            p["last_annotation"].alias("rt_last_annotation"),
+            p["id"].alias("rt_id"),
+            F.size(p["properties"]).alias("rt_n_props"),
+            p["index"].alias("rt_index"),
+        )
+
+    jo = (
+        "json_object('name', 'ch-' || CAST(user_id AS VARCHAR), "
+        "'start', start_us, 'end', end_us, 'unit', 'uV', 'rate', rate, "
+        "'type', 'CONTINUOUS', 'group', 'default', "
+        "'lastAnnotation', CAST(0 AS BIGINT), "
+        "'properties', [{{'key': 'src', 'value': 'events'}}, "
+        "{{'key': 'uid', 'value': CAST(user_id AS VARCHAR)}}]{id_part})::VARCHAR"
+    )
+    return run, f"""
+WITH ext AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT user_id, start_us, end_us,
+         ROUND(n * 86400000000.0 / (end_us - start_us), 6) AS rate,
+         CASE WHEN user_id % 2 = 0
+              THEN 'N:channel:' || CAST(user_id AS VARCHAR) END AS cid
+  FROM ext
+)
+SELECT user_id,
+       printf('channel-%05d.metadata.json', user_id) AS meta_key,
+       CASE WHEN cid IS NULL THEN {jo.format(id_part="")}
+            ELSE {jo.format(id_part=", 'id', cid")} END AS channel_json,
+       'ch-' || CAST(user_id AS VARCHAR) AS rt_name,
+       'CONTINUOUS' AS rt_type,
+       true AS rt_type_valid,
+       rate AS rt_rate,
+       CAST(0 AS BIGINT) AS rt_last_annotation,
+       cid AS rt_id,
+       2 AS rt_n_props,
+       -1 AS rt_index
+FROM c
+"""
+
+
+_REGISTRY["s6_channel_metadata"] = _q_s6_channel_metadata()
+
+
+def _q_a2_rate_validation():
+    """Rate-vs-timestamps cross-validation (reference reader.py:82-106):
+    inferred rate (A2 median-delta) against a declared rate synthesized
+    at -2/-1/0/+1/+2 % of inferred per user-id bucket — so the strict
+    ``error > 0.02`` boundary is exercised both ways: declared 2% HIGH
+    gives error 0.0196 (valid), declared 2% LOW gives 0.0204 (invalid)."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from .operators.segments import infer_rate_hz, validate_rates
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events").select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+        )
+        inf = infer_rate_hz(ev, "user_id", "ts_us", tiebreak=["event_id"])
+        declared = F.round(
+            F.col("inferred_rate_hz")
+            * (F.lit(1.0) + (F.col("user_id") % 5 - 2) / F.lit(100.0)),
+            9,
+        )
+        chans = inf.withColumn("declared_rate_hz", declared)
+        return validate_rates(chans).select(
+            "user_id",
+            "declared_rate_hz",
+            "inferred_rate_hz",
+            F.round("rate_error", 9).alias("rate_error"),
+            "rate_valid",
+        )
+
+    return run, """
+WITH first10 AS (
+  SELECT user_id, ts_us FROM (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events
+  ) x WHERE rn <= 10
+), deltas AS (
+  SELECT user_id,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS d
+  FROM first10
+), inf AS (
+  SELECT user_id,
+         CAST(ROUND(1e6 / NULLIF(median(d), 0), 9) AS DOUBLE) AS inferred_rate_hz
+  FROM deltas WHERE d IS NOT NULL GROUP BY user_id
+), chans AS (
+  SELECT user_id, inferred_rate_hz,
+         ROUND(inferred_rate_hz * (1.0 + (user_id % 5 - 2) / 100.0), 9) AS declared_rate_hz
+  FROM inf
+)
+SELECT user_id, declared_rate_hz, inferred_rate_hz,
+       ROUND(abs(inferred_rate_hz - declared_rate_hz) * (1.0 / declared_rate_hz), 9) AS rate_error,
+       NOT (abs(inferred_rate_hz - declared_rate_hz) * (1.0 / declared_rate_hz) > 0.02) AS rate_valid
+FROM chans
+"""
+
+
+_REGISTRY["a2_rate_validation"] = _q_a2_rate_validation()
+
+
+def _q_s8_lineage_certify():
+    """S8/A5 driver-visible certification: run the resumable blocks
+    pipeline on the char-token corpus, then prove the checkpoint table's
+    lineage rows describe the durable bytes — per-partition row_count and
+    xor-of-xxhash64 checksum recomputed from the written parquet must
+    equal the checkpoint's, and the per-source row totals must equal the
+    doc-derived expectation sum(ceil(n_tok/block_size)) (which DuckDB
+    recomputes independently from documents)."""
+    BLOCK = 64
+
+    def run(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from .plans import lineage
+        from .plans.pipeline import PipelineConfig, run_pipeline
+
+        seq = _char_tokens_df(spark, sf_dir)
+        out_dir = tempfile.mkdtemp(prefix="pts_lineage_certify_")
+        cfg = PipelineConfig(
+            out_dir=out_dir, block_size=BLOCK, n_buckets=8,
+            tiers=(("1s", 16), ("1m", 4)), resume=False,
+        )
+        run_pipeline(spark, seq, cfg)
+
+        ck = (
+            lineage.read_checkpoint(spark, out_dir)
+            .filter(F.col("stage") == "blocks")
+            .select("partition_key", "row_count", "checksum")
+        )
+        written = spark.read.parquet(f"{out_dir}/blocks")
+        recomputed = (
+            written.withColumn(
+                "_h", F.xxhash64(*[F.col(c) for c in written.columns])
+            )
+            .groupBy("source", "bucket")
+            .agg(
+                F.count("*").alias("rc_rows"),
+                F.expr("bit_xor(_h)").alias("rc_checksum"),
+            )
+            .withColumn(
+                "partition_key",
+                F.concat_ws("/", F.col("source"), F.col("bucket").cast("string")),
+            )
+        )
+        per_part = ck.join(recomputed, "partition_key")
+        return (
+            per_part.groupBy("source")
+            .agg(
+                F.sum("row_count").cast("bigint").alias("blocks_rows"),
+                F.min(
+                    (F.col("row_count") == F.col("rc_rows"))
+                    & (F.col("checksum") == F.col("rc_checksum"))
+                ).alias("lineage_ok"),
+            )
+            .select("source", "blocks_rows", "lineage_ok")
+        )
+
+    return run, f"""
+SELECT source,
+       CAST(SUM((length(text) + {BLOCK - 1}) // {BLOCK}) AS BIGINT) AS blocks_rows,
+       true AS lineage_ok
+FROM documents WHERE length(text) > 0
+GROUP BY source
+"""
+
+
+def _q_a4_manifest_batches():
+    """A4 + L2 (import side): manifest batch sizing from the sampled mean
+    entry size with 80% margin (reference import_client.py:161-190), and
+    batch assignment that preserves global insertion order across batches
+    (their test_import_client.py:279). The oracle recomputes the batch
+    size and the order-preserving first/last key per batch from scratch;
+    max_size is shrunk so the test corpus spans multiple batches."""
+    MAX_SIZE = 16_000  # bytes; ~0.8*16000/avg_entry docs per batch
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .plans.lineage import assign_manifest_batches, calculate_batch_size
+
+        load_views(spark, sf_dir)
+        entries = spark.table("documents").select(
+            F.col("doc_id"),
+            F.format_string("up/%05d.bin.gz", F.col("doc_id")).alias("upload_key"),
+            F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string")).alias(
+                "file_path"
+            ),
+        )
+        bs = calculate_batch_size(entries, "doc_id", max_size_bytes=MAX_SIZE)
+        batched = assign_manifest_batches(entries, bs, "doc_id")
+        return batched.groupBy("batch_no").agg(
+            F.count("*").alias("n_entries"),
+            F.min("global_pos").alias("first_pos"),
+            F.max("global_pos").alias("last_pos"),
+            F.min("upload_key").alias("first_key"),
+            F.max("upload_key").alias("last_key"),
+            F.lit(bs).cast("bigint").alias("batch_size"),
+        )
+
+    return run, f"""
+WITH entries AS (
+  SELECT doc_id,
+         printf('up/%05d.bin.gz', doc_id) AS upload_key,
+         source || '/' || CAST(doc_id AS VARCHAR) AS file_path
+  FROM documents
+), sample AS (
+  SELECT SUM(len(upload_key) + len(file_path) + 36) AS s, COUNT(*) AS n
+  FROM (SELECT * FROM entries ORDER BY doc_id LIMIT 100)
+), bs AS (
+  -- FLOOR before the cast: Python int() truncates, DuckDB CAST rounds
+  SELECT GREATEST(1, CAST(FLOOR({MAX_SIZE} * 0.8 / (s / n)) AS BIGINT)) AS batch_size FROM sample
+), pos AS (
+  SELECT doc_id, upload_key,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_pos
+  FROM entries
+)
+SELECT global_pos // batch_size AS batch_no,
+       COUNT(*) AS n_entries,
+       MIN(global_pos) AS first_pos, MAX(global_pos) AS last_pos,
+       MIN(upload_key) AS first_key, MAX(upload_key) AS last_key,
+       batch_size
+FROM pos, bs
+GROUP BY global_pos // batch_size, batch_size
+"""
+
+
+_REGISTRY["s8_lineage_certify"] = _q_s8_lineage_certify()
+_REGISTRY["a4_manifest_batches"] = _q_a4_manifest_batches()
+
+
 # ==========================================================================
 # Batch 3 — breadth: multidimensional aggs, pivot, window frames, set ops,
 # distinct aggregation. All shared-text (dialects agree on these).

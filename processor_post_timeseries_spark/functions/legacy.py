@@ -69,20 +69,97 @@ def legacy_metadata_key(index: Column) -> Column:
 
 
 def channel_metadata_json(
-    name: Column, start_us: Column, end_us: Column, rate: Column, group: Column
+    name: Column,
+    start_us: Column,
+    end_us: Column,
+    rate: Column,
+    group: Column,
+    channel_type: Column | None = None,
+    last_annotation: Column | None = None,
+    properties: Column | None = None,
+    id: Column | None = None,  # noqa: A002 - reference field name
 ) -> Column:
-    """Reference channel-metadata JSON shape (S6):
+    """Reference channel-metadata JSON (S6), full ``as_dict`` field set:
     ``/root/reference/processor/timeseries_channel.py:37-53`` — fixed
-    unit 'uV', CONTINUOUS type, trimmed name."""
-    return F.to_json(
-        F.struct(
-            F.trim(name).alias("name"),
-            start_us.alias("start"),
-            end_us.alias("end"),
-            F.lit("uV").alias("unit"),
-            rate.alias("rate"),
-            F.lit("CONTINUOUS").alias("type"),
-            group.alias("group"),
-            F.lit(None).cast("string").alias("lastAnnotation"),
-        )
+    unit 'uV', trimmed name/group, ``lastAnnotation`` default 0,
+    ``properties`` default ``[]`` (typed here as key/value structs), and
+    ``id`` appended last and OMITTED when null (Spark's to_json drops
+    null fields, matching the reference's conditional ``resp["id"]``)."""
+    if channel_type is None:
+        channel_type = F.lit("CONTINUOUS")
+    if last_annotation is None:
+        last_annotation = F.lit(0).cast("bigint")
+    if properties is None:
+        properties = F.array().cast(_PROPS_TYPE)
+    fields = [
+        F.trim(name).alias("name"),
+        start_us.cast("bigint").alias("start"),
+        end_us.cast("bigint").alias("end"),
+        F.lit("uV").alias("unit"),
+        rate.alias("rate"),
+        F.upper(channel_type).alias("type"),
+        F.trim(group).alias("group"),
+        last_annotation.cast("bigint").alias("lastAnnotation"),
+        F.coalesce(properties, F.array().cast(_PROPS_TYPE)).alias("properties"),
+    ]
+    if id is not None:
+        fields.append(id.alias("id"))
+    return F.to_json(F.struct(*fields))
+
+
+_PROPS_TYPE = "array<struct<key:string,value:string>>"
+
+# parse schema accepts BOTH spellings of the type field — the reference
+# ingests API payloads carrying ``channelType`` and files carrying
+# ``type`` (timeseries_channel.py:63: channelType wins when both exist)
+CHANNEL_JSON_SCHEMA = (
+    # start/end/lastAnnotation parsed as strings then cast: the reference
+    # coerces with int(...) so quoted numbers ("start": "100") must work
+    "name string, start string, end string, unit string, rate double, "
+    "type string, channelType string, group string, lastAnnotation string, "
+    f"properties {_PROPS_TYPE}, id string"
+)
+
+
+def channel_from_json(j: Column) -> Column:
+    """``from_dict``-equivalent ingest (S6/P12 parity): parse a channel
+    metadata JSON string into a normalized struct, applying the
+    reference's alias + defaulting rules
+    (``/root/reference/processor/timeseries_channel.py:55-69``):
+
+    * ``channelType`` beats ``type`` when both present;
+    * type upper-cased; ``type_valid`` flags CONTINUOUS/UNIT (the
+      reference asserts — a declarative engine surfaces the flag so the
+      caller can fail the batch);
+    * ``lastAnnotation`` defaults to 0, ``properties`` to ``[]``;
+    * ``unit`` in the payload is ignored (always uV), ``id`` optional;
+    * ``index`` is not serialized — restored as -1.
+    """
+    p = F.from_json(j, CHANNEL_JSON_SCHEMA)
+    typ = F.upper(F.coalesce(p["channelType"], p["type"]))
+    return F.struct(
+        F.lit(-1).alias("index"),
+        F.trim(p["name"]).alias("name"),
+        p["rate"].alias("rate"),
+        p["start"].cast("bigint").alias("start"),
+        p["end"].cast("bigint").alias("end"),
+        typ.alias("type"),
+        typ.isin("CONTINUOUS", "UNIT").alias("type_valid"),
+        F.trim(p["group"]).alias("group"),
+        F.coalesce(p["lastAnnotation"].cast("bigint"), F.lit(0)).alias("last_annotation"),
+        F.coalesce(p["properties"], F.array().cast(_PROPS_TYPE)).alias("properties"),
+        p["id"].alias("id"),
+    )
+
+
+def channels_equal(
+    name_a: Column, type_a: Column, rate_a: Column,
+    name_b: Column, type_b: Column, rate_b: Column,
+) -> Column:
+    """Reference channel equality (timeseries_channel.py:71-80): names and
+    types casefold-equal, rates within a strict 2% ratio band."""
+    return (
+        (F.lower(name_a) == F.lower(name_b))
+        & (F.lower(type_a) == F.lower(type_b))
+        & (F.abs(F.lit(1.0) - rate_a / rate_b) < 0.02)
     )

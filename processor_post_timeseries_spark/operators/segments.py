@@ -65,3 +65,64 @@ def channel_extents(df: DataFrame, key: str, ts: str, value: str) -> DataFrame:
         F.min(value).alias("min_v"),
         F.max(value).alias("max_v"),
     )
+
+
+def infer_rate_hz(
+    df: DataFrame, key: str, ts_us: str, tiebreak: list[str] | None = None, first_k: int = 10
+) -> DataFrame:
+    """A2 — sampling-rate inference per key: median timestamp delta of the
+    first ``first_k`` samples, rate = 1e6/median (reference
+    ``/root/reference/processor/utils.py:6-13``: the sample window is the
+    first 10 timestamps; ``reader.py:85`` feeds it min(10000, n) but the
+    helper slices [:10]). Returns (key, median_delta_us, inferred_rate_hz),
+    rate rounded to 9 dp for cross-engine determinism."""
+    order = [ts_us, *(tiebreak or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    first = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= first_k)
+        .withColumn("_d", F.col(ts_us) - F.lag(ts_us).over(Window.partitionBy(key).orderBy(ts_us)))
+        .filter(F.col("_d").isNotNull())
+    )
+    return first.groupBy(key).agg(
+        F.median("_d").cast("double").alias("median_delta_us"),
+        F.round(F.lit(1e6) / F.nullif(F.median("_d"), F.lit(0)), 9)
+        .cast("double")
+        .alias("inferred_rate_hz"),
+    )
+
+
+def validate_rates(
+    df: DataFrame,
+    declared: str = "declared_rate_hz",
+    inferred: str = "inferred_rate_hz",
+    tolerance: float = 0.02,
+    mode: str = "flag",
+) -> DataFrame:
+    """Declared-vs-inferred rate cross-validation (reference
+    ``/root/reference/processor/reader.py:82-106``): relative error
+    ``|inferred - declared| * (1/declared)``; STRICTLY greater than
+    ``tolerance`` is a violation (error == tolerance passes, matching the
+    reference's ``error > 0.02``).
+
+    ``mode="flag"`` adds (rate_error, rate_valid) — the declarative
+    engine shape: callers filter or fail the batch. ``mode="fail"``
+    reproduces the reference's raise-on-first-violation with its message
+    format (one bounded ``limit(1)`` action, not a collect of the table)."""
+    err = F.abs(F.col(inferred) - F.col(declared)) * (F.lit(1.0) / F.col(declared))
+    out = df.withColumn("rate_error", err).withColumn(
+        "rate_valid", ~(err > F.lit(tolerance))
+    )
+    if mode == "fail":
+        bad = out.filter(~F.col("rate_valid")).limit(1).collect()
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                "Inferred rate from timestamps ({inferred_rate:.4f}) does not "
+                "match given rate ({given_rate:.4f}).".format(
+                    inferred_rate=r[inferred], given_rate=r[declared]
+                )
+            )
+    elif mode != "flag":
+        raise ValueError(f"unknown mode {mode!r}")
+    return out

@@ -135,3 +135,75 @@ def pending_only(df: DataFrame, spark: SparkSession, root: str, stage: str, key_
 
 def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
+
+
+# ------------------------------------------------------------- manifests
+# The reference's import manifest is batched by a sampled mean entry size
+# and preserves global insertion order across batches; these re-express
+# that as engine operators (A4 + L2 import side).
+
+MAX_REQUEST_SIZE_BYTES = 10 * 1024 * 1024  # reference import_client.py:14
+DEFAULT_BATCH_SIZE = 1000
+
+# serialized manifest entry is {"upload_key": "K", "file_path": "P"} with
+# json.dumps' default separators plus one joining comma:
+# 35 fixed chars + the two value lengths + 1  (import_client.py:176-178)
+_ENTRY_OVERHEAD = 36
+
+
+def calculate_batch_size(
+    entries: DataFrame,
+    order_col: str,
+    key_col: str = "upload_key",
+    path_col: str = "file_path",
+    max_size_bytes: int = MAX_REQUEST_SIZE_BYTES,
+    sample_n: int = 100,
+) -> int:
+    """A4 — manifest batch sizing from a sampled mean entry size with an
+    80% safety margin (reference
+    ``/root/reference/processor/clients/import_client.py:161-190``).
+    The reference samples its list's first 100 entries; a DataFrame has
+    no order, so ``order_col`` pins the sample deterministically
+    (TakeOrdered — no full sort). Assumes manifest values need no JSON
+    escaping (true for object keys/paths)."""
+    sample = (
+        entries.orderBy(order_col)
+        .limit(sample_n)
+        .select(
+            (
+                F.length(key_col) + F.length(path_col) + F.lit(_ENTRY_OVERHEAD)
+            ).alias("entry_len")
+        )
+        .agg(F.sum("entry_len").alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    if not sample["n"]:
+        return DEFAULT_BATCH_SIZE
+    avg = sample["s"] / sample["n"]
+    return max(1, int(max_size_bytes * 0.8 / avg))
+
+
+def assign_manifest_batches(
+    entries: DataFrame, batch_size: int, order_col: str
+) -> DataFrame:
+    """L2 (import side) — batch assignment that preserves global insertion
+    order across batches (reference behavior pinned by
+    ``/root/reference/tests/test_import_client.py:279``): entry k lands in
+    batch k//batch_size at offset k%batch_size, so concatenating batches
+    in batch_no order reproduces the input order exactly.
+
+    The global row_number is a driver-visible ordering over MANIFEST
+    entries (one per uploaded file, not per data row) — small by
+    construction; the single-partition window is deliberate and bounded.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(order_col)
+    pos = F.row_number().over(w) - 1
+    return (
+        entries.withColumn("global_pos", pos.cast("bigint"))
+        .withColumn("batch_no", F.floor(F.col("global_pos") / batch_size).cast("bigint"))
+        .withColumn(
+            "pos_in_batch", (F.col("global_pos") % batch_size).cast("bigint")
+        )
+    )

@@ -80,3 +80,118 @@ def test_spark_udf_roundtrip(spark):
     )
     rt = df.withColumn("back", legacy_decode(legacy_encode("vals")))
     assert rt.filter(~(F.col("back") == F.col("vals"))).count() == 0
+
+
+def test_channel_metadata_full_roundtrip(spark):
+    """Mirror of the reference round-trip suite
+    (/root/reference/tests/test_timeseries_channel.py:193-303):
+    as_dict -> from_dict preserves every field, id omitted when absent,
+    channelType alias wins over type, defaults applied."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.functions.legacy import (
+        channel_from_json,
+        channel_metadata_json,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 500_000, 1_500_000, "Round Trip Channel", 20000.0, " test_group ",
+          "unit", 50, "N:channel:round-trip")],
+        "idx int, start_us long, end_us long, name string, rate double, "
+        "grp string, ctype string, last_ann long, cid string",
+    )
+    props = F.array(F.struct(F.lit("key").alias("key"), F.lit("value").alias("value")))
+    j = df.select(
+        channel_metadata_json(
+            F.col("name"), F.col("start_us"), F.col("end_us"), F.col("rate"),
+            F.col("grp"), channel_type=F.col("ctype"),
+            last_annotation=F.col("last_ann"), properties=props, id=F.col("cid"),
+        ).alias("meta")
+    )
+    raw = j.collect()[0]["meta"]
+    d = json.loads(raw)
+    # serialized field set and reference key order (id last)
+    assert list(d) == ["name", "start", "end", "unit", "rate", "type", "group",
+                       "lastAnnotation", "properties", "id"]
+    assert d["unit"] == "uV" and d["type"] == "UNIT" and d["group"] == "test_group"
+    assert d["lastAnnotation"] == 50 and d["properties"] == [{"key": "key", "value": "value"}]
+    # parse back through the from_dict equivalent
+    r = j.select(channel_from_json(F.col("meta")).alias("c")).select("c.*").collect()[0]
+    assert r["name"] == "Round Trip Channel" and r["rate"] == 20000.0
+    assert r["start"] == 500_000 and r["end"] == 1_500_000
+    assert r["type"] == "UNIT" and r["type_valid"]
+    assert r["group"] == "test_group" and r["last_annotation"] == 50
+    assert [p.asDict() for p in r["properties"]] == [{"key": "key", "value": "value"}]
+    assert r["id"] == "N:channel:round-trip"
+    assert r["index"] == -1  # index is never serialized
+
+
+def test_channel_metadata_id_omitted_and_defaults(spark):
+    """as_dict without id has no 'id' key; from_dict defaults
+    lastAnnotation->0, properties->[], and accepts the channelType alias
+    (reference timeseries_channel.py:55-69)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.functions.legacy import (
+        channel_from_json,
+        channel_metadata_json,
+    )
+
+    j = spark.range(1).select(
+        channel_metadata_json(
+            F.lit("Test"), F.lit(0), F.lit(1000), F.lit(1000.0), F.lit("default")
+        ).alias("meta")
+    )
+    d = json.loads(j.collect()[0]["meta"])
+    assert "id" not in d
+    assert d["lastAnnotation"] == 0 and d["properties"] == []
+    assert d["type"] == "CONTINUOUS"
+
+    # channelType alias beats type; missing optionals default
+    api_payload = ('{"name":" N ","start":"100","end":"200","rate":250.0,'
+                   '"group":"g","channelType":"unit","type":"continuous"}')
+    r = (
+        spark.createDataFrame([(api_payload,)], "j string")
+        .select(channel_from_json(F.col("j")).alias("c")).select("c.*").collect()[0]
+    )
+    assert r["type"] == "UNIT" and r["type_valid"]
+    assert r["name"] == "N" and r["start"] == 100 and r["end"] == 200
+    assert r["last_annotation"] == 0 and list(r["properties"]) == []
+    assert r["id"] is None
+    # invalid type is flagged, not silently accepted
+    bad = ('{"name":"x","start":1,"end":2,"rate":1.0,"group":"g","type":"WEIRD"}')
+    rb = (
+        spark.createDataFrame([(bad,)], "j string")
+        .select(channel_from_json(F.col("j")).alias("c")).select("c.*").collect()[0]
+    )
+    assert rb["type"] == "WEIRD" and not rb["type_valid"]
+
+
+def test_channels_equal_predicate(spark):
+    """Reference equality semantics (timeseries_channel.py:71-80):
+    casefold name+type, strict 2% rate ratio band — boundary values from
+    their test_equality_boundary_exactly_2_percent."""
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.functions.legacy import channels_equal
+
+    rows = [
+        ("Test Channel", "CONTINUOUS", 30000.0, "TEST CHANNEL", "continuous", 30000.0, True),
+        ("Test", "CONTINUOUS", 30000.0, "Test", "CONTINUOUS", 30450.0, True),   # 1.5%
+        ("Test", "CONTINUOUS", 30000.0, "Test", "CONTINUOUS", 30600.0, True),   # 0.0196 < 0.02
+        ("Test", "CONTINUOUS", 30000.0, "Test", "CONTINUOUS", 30700.0, False),  # 0.0228
+        ("Test", "CONTINUOUS", 30000.0, "Test", "UNIT", 30000.0, False),
+        ("Channel A", "CONTINUOUS", 1.0, "Channel B", "CONTINUOUS", 1.0, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "na string, ta string, ra double, nb string, tb string, rb double, want boolean"
+    ).withColumn(
+        "got",
+        channels_equal(F.col("na"), F.col("ta"), F.col("ra"),
+                       F.col("nb"), F.col("tb"), F.col("rb")),
+    )
+    assert df.filter(F.col("got") != F.col("want")).count() == 0

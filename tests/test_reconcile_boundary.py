@@ -35,3 +35,42 @@ def test_outside_band_no_match(spark):
 def test_casefold_and_trim_match(spark):
     # name matching is trim+casefold (reference timeseries_channel.py:76-77)
     assert _pairs(spark, 1000.0, 1000.0) == 1
+
+
+def test_rate_validation_exact_boundary(spark):
+    """Reference reader.py:82-106 semantics: error strictly greater than
+    2% fails; error == 0.02 (IEEE-exact for 30600 vs 30000) passes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.operators.segments import validate_rates
+
+    rows = [
+        ("at_boundary", 30000.0, 30600.0, True),   # |Δ|/declared == 0.02 exactly
+        ("inside", 30000.0, 30450.0, True),        # 1.5%
+        ("outside", 30000.0, 30700.0, False),      # 2.33%
+        ("below", 30000.0, 29500.0, True),         # 1.67% low side
+        ("way_off", 30000.0, 31000.0, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, declared_rate_hz double, inferred_rate_hz double, want boolean"
+    )
+    got = validate_rates(df)
+    assert got.filter(F.col("rate_valid") != F.col("want")).count() == 0
+    # fail mode raises with the reference's message format
+    with pytest.raises(ValueError, match=r"Inferred rate from timestamps \(30700\.0000\)"):
+        validate_rates(df, mode="fail")
+    # fail mode is silent when all rows pass
+    ok = df.filter(F.col("want"))
+    assert validate_rates(ok, mode="fail").count() == 3
+
+
+def test_infer_rate_hz_median_of_first_10(spark):
+    from processor_post_timeseries_spark.operators.segments import infer_rate_hz
+
+    # 25 samples at 1000 us spacing, one jitter; only the first 10 matter
+    rows = [(1, i * 1000 + (7 if i == 3 else 0)) for i in range(25)]
+    df = spark.createDataFrame(rows, "ch int, ts_us long")
+    r = infer_rate_hz(df, "ch", "ts_us").collect()[0]
+    assert r["median_delta_us"] == 1000.0
+    assert r["inferred_rate_hz"] == 1000.0
