@@ -17,8 +17,11 @@ Determinism policy (so order-insensitive value hashes match exactly):
 * every computed column aliased identically on both sides.
 
 ``_REGISTRY`` maps name -> (spark_fn, oracle_sql | None). A ``None``
-oracle marks genuinely non-SQL-expressible ops (codec bit-packing,
-simhash) — the driver then records a weaker rows-only check.
+oracle would mark a non-SQL-expressible op (the driver then records a
+weaker rows-only check) — currently every registered query carries a
+full oracle: even the iterative IVF index and the bit-level simhash are
+replayed exactly in DuckDB (deterministic md5 seeds + quantized
+centroids make it possible).
 """
 
 from __future__ import annotations

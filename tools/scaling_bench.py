@@ -78,6 +78,37 @@ def main() -> None:
 
     effs = [s["efficiency"] for s in samples]
     med = statistics.median(effs)
+
+    # round history sidecar: every invocation appends, so BENCH/BASELINE.md
+    # reports the current round NEXT TO earlier rounds (a stable
+    # round-over-round perf axis) instead of erasing them
+    import time as _time
+
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.json")
+    try:
+        with open(hist_path) as f:
+            history = json.load(f)
+    except Exception:
+        history = []
+    history.append(
+        {
+            "utc": _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime()),
+            "n_docs": meta["n_docs"],
+            "n_tokens": meta["n_tokens"],
+            "pairs": [s["efficiency"] for s in samples],
+            "median_efficiency": med,
+            "t_n_best": max(s["t_n"] for s in samples),
+            "t_4n_best": max(s["t_4n"] for s in samples),
+        }
+    )
+    with open(hist_path, "w") as f:
+        json.dump(history, f, indent=1)
+    hist_rows = "\n".join(
+        f"| {h['utc']} | {h['n_tokens']:,} | "
+        f"{', '.join(f'{e:.3f}' for e in h['pairs'])} | {h['median_efficiency']:.3f} |"
+        for h in history
+    )
+
     rows = "\n".join(
         f"| {s['pair']} | {s['wall_n']} | {s['t_n']:,} | {s['wall_4n']} | {s['t_4n']:,} | {s['efficiency']} |"
         for s in samples
@@ -99,6 +130,16 @@ pairing cancels the drift and the median is reported:
 
 **Median scaling efficiency = {med:.3f}** (target >= 0.8;
 per-pair efficiency = T(4N) / (4 x T(N))).
+
+## Round history (every clean-window protocol run, oldest first)
+
+Round 1 context: clean-window paired median 0.726 at 660M tokens (best
+pair 0.858); best full-protocol single runs 0.929 / 0.783 at 1.43B
+tokens. Subsequent protocol runs append here:
+
+| utc | tokens | per-pair efficiencies | median |
+|---|---|---|---|
+{hist_rows}
 
 Why N=2 (one 2-core executor) vs 4N=8: this sandbox is one VM whose
 memory bandwidth saturates at ~8-12 heavy threads (measured: a
