@@ -565,6 +565,23 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """
 
 
+def _duck_lsh_bucket_expr(n_planes: int = 8, vec: str = "embedding") -> str:
+    """DuckDB replay of ``similarity.lsh_buckets``: md5-parity pseudo-plane
+    sign sketch packed into an int bucket."""
+    plane_terms = []
+    for p in range(n_planes):
+        sign = (
+            f"CASE WHEN substr(md5('{p}' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+            "IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END"
+        )
+        plane_terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, len({vec}) + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({sign}))) > 0 "
+            f"THEN {2**p} ELSE 0 END"
+        )
+    return " + ".join(plane_terms)
+
+
 def _q_ann_lsh_hist():
     def run(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -578,21 +595,44 @@ def _q_ann_lsh_hist():
             .agg(F.count("*").alias("n_vecs"))
         )
 
-    plane_terms = []
-    for p in range(8):
-        sign = (
-            f"CASE WHEN substr(md5('{p}' || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) "
-            "IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END"
-        )
-        plane_terms.append(
-            f"CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({sign}))) > 0 "
-            f"THEN {2**p} ELSE 0 END"
-        )
-    bucket = " + ".join(plane_terms)
     return run, f"""
-SELECT CAST({bucket} AS INTEGER) AS bucket, COUNT(*) AS n_vecs
+SELECT CAST({_duck_lsh_bucket_expr()} AS INTEGER) AS bucket, COUNT(*) AS n_vecs
 FROM embeddings GROUP BY 1
+"""
+
+
+def _q_dedup_embedding_cosine():
+    """Embedding-cosine near-dup (task-mandate dedup family): sign-LSH
+    bucket candidates, exact cosine >= threshold verification. The oracle
+    replays the md5-parity planes, the bucket join, and the cosine.
+    4 planes / 0.35 picked so the synthetic corpus yields a non-trivial
+    pair set (34 at sf0.01) — a 0-row query certifies nothing."""
+    threshold = 0.35
+    n_planes = 4
+
+    def run(spark, sf_dir):
+        from .operators.dedup import embedding_near_dup_pairs
+
+        load_views(spark, sf_dir)
+        return embedding_near_dup_pairs(
+            spark.table("embeddings"), threshold=threshold, n_planes=n_planes
+        )
+
+    return run, f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm,
+         CAST({_duck_lsh_bucket_expr(n_planes)} AS INTEGER) AS bucket
+  FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * c.embedding[i]))
+             / (a.norm * c.norm), 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * c.embedding[i]))
+      / (a.norm * c.norm), 6) >= {threshold}
 """
 
 
@@ -890,6 +930,7 @@ _REGISTRY.update(
         "dedup_simhash": _q_simhash(),
         "ann_cosine_topk": _q_ann_cosine(),
         "ann_lsh_bucket_hist": _q_ann_lsh_hist(),
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine(),
         "text_token_counts": _q_text_tokens(),
         "text_quality": _q_text_quality(),
         "text_lang_id": _q_text_lang(),
@@ -1207,6 +1248,139 @@ GROUP BY global_pos // batch_size, batch_size
 
 _REGISTRY["s8_lineage_certify"] = _q_s8_lineage_certify()
 _REGISTRY["a4_manifest_batches"] = _q_a4_manifest_batches()
+
+
+def _q_p5_legacy_blocks():
+    """P5 driver-visible certification: encode each channel's ordered
+    values to the reference's legacy payload (big-endian float64, gzip
+    level 0, mtime=0 — reference writer.py:73-99) and certify (a) decode
+    round-trips bit-exactly and (b) the payload byte length equals the
+    closed-form gzip-stored-block size 18 + 8n + 5*ceil(8n/65535), which
+    DuckDB computes independently from the row counts."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.legacy import legacy_decode, legacy_encode
+
+        load_views(spark, sf_dir)
+        vals = (
+            spark.table("events")
+            .groupBy("user_id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("ts_us"),
+                                F.col("event_id"),
+                                F.col("value"),
+                            )
+                        )
+                    ),
+                    lambda s: s["value"],
+                ).alias("values")
+            )
+        )
+        enc = vals.withColumn("payload", legacy_encode("values"))
+        return enc.select(
+            "user_id",
+            F.size("values").cast("bigint").alias("n_samples"),
+            F.length("payload").cast("bigint").alias("payload_bytes"),
+            (legacy_decode(F.col("payload")) == F.col("values")).alias("ok"),
+        )
+
+    return run, """
+SELECT user_id,
+       COUNT(*) AS n_samples,
+       CAST(18 + 8 * COUNT(*)
+            + 5 * GREATEST(1, (8 * COUNT(*) + 65534) // 65535) AS BIGINT) AS payload_bytes,
+       true AS ok
+FROM events GROUP BY user_id
+"""
+
+
+_REGISTRY["p5_legacy_blocks"] = _q_p5_legacy_blocks()
+
+
+def _q_p14_size_parsing():
+    """P14 — human-readable size parsing + samples-for-size math
+    (reference scripts/generate_test_nwb.py:27-61): size strings are
+    synthesized from part.p_size with a per-row unit (and an invalid
+    shape every 7th key, which parses to NULL — the declarative analog of
+    the reference's ValueError), then bytes -> sample count with the 5%
+    container-overhead rule and 1000-sample floor."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .sources.synth import parse_size_col
+
+        load_views(spark, sf_dir)
+        unit = (
+            F.when(F.col("p_partkey") % 5 == 0, "B")
+            .when(F.col("p_partkey") % 5 == 1, "KB")
+            .when(F.col("p_partkey") % 5 == 2, "MB")
+            .when(F.col("p_partkey") % 5 == 3, "GB")
+            .otherwise("TB")
+        )
+        size_str = F.when(
+            F.col("p_partkey") % 7 == 0, F.lit("not-a-size")
+        ).otherwise(
+            F.concat(
+                F.col("p_size").cast("string"),
+                F.when(F.col("p_partkey") % 2 == 0, ".5").otherwise(""),
+                F.lit(" "),
+                unit,
+            )
+        )
+        parsed = spark.table("part").select(
+            "p_partkey", size_str.alias("size_str")
+        ).withColumn("n_bytes", parse_size_col(F.col("size_str")))
+        # explicit NULL gate: Spark's greatest() skips NULLs while other
+        # engines may propagate them — don't rely on either behavior
+        return parsed.withColumn(
+            "n_samples",
+            F.when(
+                F.col("n_bytes").isNotNull(),
+                F.greatest(F.floor(F.col("n_bytes") * 0.95 / 16), F.lit(1000)),
+            ).cast("bigint"),
+        )
+
+    return run, """
+WITH sized AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 0 THEN 'not-a-size'
+              ELSE CAST(p_size AS VARCHAR)
+                   || CASE WHEN p_partkey % 2 = 0 THEN '.5' ELSE '' END
+                   || ' '
+                   || CASE p_partkey % 5 WHEN 0 THEN 'B' WHEN 1 THEN 'KB'
+                        WHEN 2 THEN 'MB' WHEN 3 THEN 'GB' ELSE 'TB' END
+         END AS size_str
+  FROM part
+), parsed AS (
+  SELECT p_partkey, size_str,
+         CASE WHEN regexp_extract(upper(trim(size_str)),
+                '^([0-9]+(?:\\.[0-9]+)?)\\s*(B|KB|MB|GB|TB)$', 1) <> ''
+              THEN CAST(FLOOR(
+                CAST(regexp_extract(upper(trim(size_str)),
+                  '^([0-9]+(?:\\.[0-9]+)?)\\s*(B|KB|MB|GB|TB)$', 1) AS DOUBLE)
+                * CASE regexp_extract(upper(trim(size_str)),
+                    '^([0-9]+(?:\\.[0-9]+)?)\\s*(B|KB|MB|GB|TB)$', 2)
+                    WHEN 'B' THEN 1 WHEN 'KB' THEN 1024 WHEN 'MB' THEN 1048576
+                    WHEN 'GB' THEN 1073741824 ELSE 1099511627776 END) AS BIGINT)
+         END AS n_bytes
+  FROM sized
+)
+SELECT p_partkey, size_str, n_bytes,
+       CASE WHEN n_bytes IS NOT NULL
+            THEN CAST(GREATEST(FLOOR(n_bytes * 0.95 / 16), 1000) AS BIGINT)
+       END AS n_samples
+FROM parsed
+"""
+
+
+_REGISTRY["p14_size_parsing"] = _q_p14_size_parsing()
 
 
 # ==========================================================================

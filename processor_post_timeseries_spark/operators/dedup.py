@@ -19,8 +19,10 @@ Training-corpus dedup at 100 TB, Spark-first:
   buckets shuffle only (band_no, band_hash) pairs; candidate pairs are
   then verified with exact Jaccard on the (small) candidate set.
 * ``simhash64`` — Charikar'02 sign-random-projection over word md5 bits,
-  vectorized in a pandas UDF (bit tricks are not SQL-expressible; the
-  driver records a rows-only check for it).
+  batch-vectorized in a pandas UDF; md5-derived, so the driver's DuckDB
+  oracle replays it bit-exactly.
+* ``embedding_near_dup_pairs`` — cosine near-dup over the embedding
+  column: sign-LSH candidate buckets, exact in-bucket verification.
 """
 
 from __future__ import annotations
@@ -318,3 +320,45 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cos_sim >= threshold).
+
+    Candidate generation is the sign-LSH bucket join (never all-pairs:
+    probe cost is bucket-bounded and corpus-size-independent), then exact
+    cosine verification inside the bucket — the same generate-then-verify
+    shape as MinHash+LSH for text. Recall is the LSH collision
+    probability (1 - theta/pi)^planes; raise it by unioning rotated plane
+    families if needed. Bucket occupancy is capped like every LSH
+    self-join here."""
+    from .similarity import _dot, lsh_buckets, with_norm
+
+    b = _cap_bucket_size(
+        lsh_buckets(emb, n_planes, vec, id_col), ["bucket"], id_col, max_bucket_size
+    )
+    v = with_norm(emb, vec).join(b, id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("v_a"), F.col("norm").alias("n_a"), "bucket"
+    )
+    c = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("v_b"), F.col("norm").alias("n_b"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()  # a pair can collide in multiple buckets only if re-banded; keep canonical
+    )

@@ -135,3 +135,56 @@ def sequences_with_gaps(
                 yield pd.concat(frames, ignore_index=True)
 
     return seq.mapInPandas(drop, schema=out_schema)
+
+
+# ----------------------------------------------------------- P14 size math
+# Reference test-fixture generator arithmetic
+# (/root/reference/scripts/generate_test_nwb.py:27-61).
+
+_SIZE_UNITS = {"B": 1, "KB": 1024, "MB": 1024**2, "GB": 1024**3, "TB": 1024**4}
+_SIZE_RE = r"^([0-9]+(?:\.[0-9]+)?)\s*(B|KB|MB|GB|TB)$"
+
+
+def parse_size(size_str: str) -> int:
+    """Human-readable size -> bytes ('10MB', '1.5 GB'; binary units)."""
+    import re
+
+    m = re.match(_SIZE_RE, size_str.upper().strip())
+    if not m:
+        raise ValueError(
+            f"Invalid size format: {size_str!r}. Use format like '10MB', '1GB', '50GB'"
+        )
+    return int(float(m.group(1)) * _SIZE_UNITS[m.group(2)])
+
+
+def samples_for_size(
+    target_bytes: int,
+    num_channels: int = 2,
+    bytes_per_value: int = 8,
+    overhead_factor: float = 0.95,
+    min_samples: int = 1000,
+) -> int:
+    """Samples needed for a target file size: float64 values per channel
+    with ~5% container overhead, floored at 1000 samples."""
+    bps = bytes_per_value * num_channels
+    return max(int(target_bytes * overhead_factor / bps), min_samples)
+
+
+def parse_size_col(c):
+    """Column form of ``parse_size``: bytes as BIGINT, NULL on invalid
+    input (the declarative analog of the reference's ValueError)."""
+    from pyspark.sql import functions as F
+
+    up = F.upper(F.trim(c))
+    num = F.regexp_extract(up, _SIZE_RE, 1)
+    unit = F.regexp_extract(up, _SIZE_RE, 2)
+    factor = (
+        F.when(unit == "B", F.lit(1))
+        .when(unit == "KB", F.lit(1024))
+        .when(unit == "MB", F.lit(1024**2))
+        .when(unit == "GB", F.lit(1024**3))
+        .when(unit == "TB", F.lit(1024**4))
+    )
+    return F.when(
+        num != "", F.floor(num.cast("double") * factor).cast("bigint")
+    ).otherwise(F.lit(None).cast("bigint"))

@@ -230,3 +230,25 @@ def test_simhash_vectorized_reference(spark):
             if votes[b] > 0:
                 expect |= np.uint64(1) << np.uint64(b)
         assert got[doc_id] == int(expect.astype(np.int64)), doc_id
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Planted twins (cos ~0.995) must surface as near-dups; orthogonal
+    fillers must not. Same generate-then-verify shape as LSH text dedup."""
+    from processor_post_timeseries_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(0, 40, 2):
+        v = rng.normal(size=8)
+        w = v + rng.normal(size=8) * 0.03
+        rows.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist(), 0))
+        rows.append((i + 1, (w / np.linalg.norm(w)).astype(np.float32).tolist(), 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in embedding_near_dup_pairs(emb, threshold=0.95, n_planes=4).collect()}
+    twin_hits = sum((i, i + 1) in pairs for i in range(0, 40, 2))
+    # sign-LSH keeps a ~0.995-cosine twin in the same bucket w.p.
+    # (1 - theta/pi)^4 ~ 0.88; expect most twins found, all above threshold
+    assert twin_hits >= 12, twin_hits
+    assert all(v >= 0.95 for v in pairs.values())
