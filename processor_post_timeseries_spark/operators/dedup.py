@@ -339,26 +339,40 @@ def embedding_near_dup_pairs(
     probability (1 - theta/pi)^planes; raise it by unioning rotated plane
     families if needed. Bucket occupancy is capped like every LSH
     self-join here."""
-    from .similarity import _dot, lsh_buckets, with_norm
+    from .similarity import lsh_buckets
 
     b = _cap_bucket_size(
         lsh_buckets(emb, n_planes, vec, id_col), ["bucket"], id_col, max_bucket_size
     )
-    v = with_norm(emb, vec).join(b, id_col)
-    a = v.select(
-        F.col(id_col).alias("id_a"), F.col(vec).alias("v_a"), F.col("norm").alias("n_a"), "bucket"
+    v = emb.select(id_col, vec).join(b, id_col)
+
+    # one GEMM per bucket group (applyInPandas): all in-bucket pairwise
+    # cosines at BLAS speed, only pairs >= threshold ever emitted — the
+    # expression-join alternative allocates a zip_with array per pair
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
     )
-    c = v.select(
-        F.col(id_col).alias("id_b"), F.col(vec).alias("v_b"), F.col("norm").alias("n_b"), "bucket"
-    )
+
+    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        V = np.stack([np.asarray(x, np.float64) for x in pdf[vec]])
+        ids = pdf[id_col].to_numpy(np.int64)
+        # same formula as the SQL oracle: round(dot/(|a||b|), 6)
+        nrm = np.linalg.norm(V, axis=1)
+        S = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+        ii, jj = np.where(np.triu(S >= threshold, 1))
+        ia, ib = ids[ii], ids[jj]
+        swap = ia > ib  # canonical (id_a < id_b) regardless of group order
+        ia[swap], ib[swap] = ib[swap].copy(), ia[swap].copy()
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": S[ii, jj]})
+
     return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-        .distinct()  # a pair can collide in multiple buckets only if re-banded; keep canonical
+        v.groupBy("bucket")
+        .applyInPandas(lambda pdf: pairs_in_bucket(pdf), schema=out_schema)
+        .distinct()  # canonical pairs; distinct guards re-banded variants
     )

@@ -133,25 +133,32 @@ def cosine_topk_np(
     )
 
 
-def _plane_sign(p: int, i):
-    """Deterministic ±1 from md5 parity of (plane, dim) — portable to SQL:
-    +1 iff first hex char of md5('p:i') is 0-7 (i.e. top bit clear)."""
-    first = F.substring(F.md5(F.concat_ws(":", F.lit(str(p)), i.cast("string"))), 1, 1)
-    return F.when(first.isin(*list("01234567")), F.lit(1.0)).otherwise(F.lit(-1.0))
-
-
 def lsh_buckets(emb: DataFrame, n_planes: int = 8, vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Sign-sketch bucket per vector: (vec_id, bucket) with bucket =
-    sum over planes of bit_p * 2^p, bit_p = [dot(plane_p, v) > 0]."""
+    sum over planes of bit_p * 2^p, bit_p = [dot(plane_p, v) > 0].
+
+    The md5-parity pseudo-planes are deterministic in (plane, dim-index)
+    only, so they are hashed ONCE on the driver and shipped as literal
+    ±1 arrays — the previous expression form recomputed an md5 per
+    (row × dim × plane) in the JVM (O(n·d·p) hashes of constants).
+    Assumes a fixed-dimension embedding column (true of any real corpus;
+    the dim is probed from the first row)."""
+    import hashlib
+
+    first = emb.select(F.size(F.col(vec))).first()
+    dim = int(first[0]) if first is not None else 0
     out = emb.select(id_col, vec)
     bucket = F.lit(0)
     for p in range(n_planes):
+        signs = [
+            1.0
+            if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] in "01234567"
+            else -1.0
+            for i in range(dim)
+        ]
+        plane = F.array(*[F.lit(s) for s in signs]) if dim else F.array().cast("array<double>")
         proj = F.aggregate(
-            F.zip_with(
-                F.col(vec),
-                F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
-                lambda x, i: x.cast("double") * _plane_sign(p, i),
-            ),
+            F.zip_with(F.col(vec), plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -373,27 +380,69 @@ def ann_ivf_topk(
             )
 
     qprobes = emb.select(id_col, vec).mapInPandas(probes, schema=probe_schema)
-    q = with_norm(emb, vec).select(
-        F.col(id_col).alias("query_id"), F.col(vec).alias("v_q"), F.col("norm").alias("norm_q")
+    qside = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec).alias("v_q")
     ).join(qprobes.withColumnRenamed(id_col, "query_id"), "query_id")
-    c = with_norm(emb, vec).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("v_n"), F.col("norm").alias("norm_n")
-    ).join(
-        assigned.select(F.col(id_col).alias("neighbor_id"), "cluster_id"), "neighbor_id"
+    cside = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("v_n")
+    ).join(assigned.select(F.col(id_col).alias("neighbor_id"), "cluster_id"), "neighbor_id")
+
+    # per-cluster GEMM scoring with LOSSLESS per-cluster top-k pruning:
+    # the global top-k over a query's probed clusters is contained in the
+    # union of its per-cluster top-k's (same (cos desc, id asc) order), so
+    # only nprobe*k candidate rows per query ever leave the cogroup — the
+    # naive expression-join alternative materializes |cluster| rows per
+    # probe (a ~100x larger shuffle + distinct at sf0.1, measured 9s vs
+    # ~2s for this plan).
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
     )
-    sims = (
-        q.join(c, "cluster_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(_dot(F.col("v_q"), F.col("v_n")) / (F.col("norm_q") * F.col("norm_n")), 6),
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        if not len(left) or not len(right):
+            return _pd.DataFrame({f.name: [] for f in out_schema.fields})
+        Q = np.stack([np.asarray(v, np.float64) for v in left["v_q"]])
+        C = np.stack([np.asarray(v, np.float64) for v in right["v_n"]])
+        qid = left["query_id"].to_numpy(np.int64)
+        nid = right["neighbor_id"].to_numpy(np.int64)
+        # same formula as the SQL oracle: round(dot/(|q||n|), 6)
+        S = np.round(
+            (Q @ C.T)
+            / np.outer(np.linalg.norm(Q, axis=1), np.linalg.norm(C, axis=1)),
+            6,
         )
-        .select("query_id", "neighbor_id", "cos_sim")
+        S[qid[:, None] == nid[None, :]] = -np.inf  # self-pairs
+        kk = min(k, S.shape[1])
+        qs, ns, cs = [], [], []
+        for i in range(S.shape[0]):
+            order = np.lexsort((nid, -S[i]))[:kk]  # cos desc, id asc
+            keep = order[np.isfinite(S[i][order])]
+            qs.append(np.full(len(keep), qid[i]))
+            ns.append(nid[keep])
+            cs.append(S[i][keep])
+        return _pd.DataFrame(
+            {
+                "query_id": np.concatenate(qs),
+                "neighbor_id": np.concatenate(ns),
+                "cos_sim": np.concatenate(cs),
+            }
+        )
+
+    cand = (
+        qside.groupBy("cluster_id")
+        .cogroup(cside.groupBy("cluster_id"))
+        .applyInPandas(lambda le, ri: score(le, ri), schema=out_schema)
         .distinct()  # a neighbor can appear via multiple probed clusters
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
