@@ -65,3 +65,35 @@ def test_partition_pruning_on_bucketed_sink(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[.*source.*src-000.*bucket.*1", plan) or (
         "PartitionFilters" in plan and "src-000" in plan
     ), plan
+
+
+def test_ivf_plan_has_no_vector_collect(spark):
+    """The r1 centroid update gathered every member vector into one agg
+    buffer (collect_list) — an OOM at corpus scale. The whole IVF search
+    plan must stay free of vector-collecting aggregates; centroid updates
+    travel as per-batch partial sums instead."""
+    import numpy as np
+
+    from processor_post_timeseries_spark.operators.similarity import ann_ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).astype(np.float32).tolist(), 0) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    plan = _plan(ann_ivf_topk(emb, k=3, n_clusters=4, nprobe=2))
+    assert "collect_list" not in plan
+
+
+def test_lineage_resume_antijoin_is_broadcast(spark, tmp_path):
+    """Resume filtering must broadcast the (tiny) checkpoint key set, not
+    shuffle the corpus against it."""
+    from processor_post_timeseries_spark.operators.partitioning import with_bucket
+    from processor_post_timeseries_spark.plans import lineage
+    from processor_post_timeseries_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    seq = with_bucket(sequences(spark, 20, seed=5), 4)
+    cfg = PipelineConfig(out_dir=str(tmp_path / "o"), block_size=64, n_buckets=4,
+                         tiers=(("1s", 8),), resume=False)
+    run_pipeline(spark, seq, cfg)
+    pending = lineage.pending_only(seq, spark, cfg.out_dir, "blocks", ["source", "bucket"])
+    plan = _plan(pending)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan) or "BroadcastHashJoin" in plan
