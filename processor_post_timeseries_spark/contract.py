@@ -1383,6 +1383,57 @@ FROM parsed
 _REGISTRY["p14_size_parsing"] = _q_p14_size_parsing()
 
 
+def _q_text_winnow():
+    """Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03):
+    md5-prefix k-gram hashes + rightmost-min-per-window selection are
+    both engine-portable, so DuckDB replays the exact fingerprint set."""
+    k, w = 4, 5
+
+    def run(spark, sf_dir):
+        from .functions.text import winnow_fingerprints
+
+        load_views(spark, sf_dir)
+        return winnow_fingerprints(spark.table("documents"), k=k, w=w)
+
+    hex_digit = "(strpos('0123456789abcdef', substr(md5(gram), {p}, 1)) - 1)"
+    h24 = " + ".join(
+        f"{hex_digit.format(p=p + 1)} * {16 ** (5 - p)}" for p in range(6)
+    )
+    M = 1 << 24
+    return run, f"""
+WITH canon AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS c
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         substr(c, CAST(i AS INTEGER), {k}) AS gram
+  FROM canon, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i <= len(c) - {k - 1}
+), hashed AS (
+  SELECT doc_id, pos, CAST({h24} AS BIGINT) AS h
+  FROM grams
+), keyed AS (
+  SELECT doc_id, pos, h * {M} + ({M - 1} - pos) AS key
+  FROM hashed
+), winmin AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS kmin,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wsz
+  FROM keyed
+)
+SELECT DISTINCT doc_id,
+       CAST({M - 1} - kmin % {M} AS INTEGER) AS pos,
+       kmin // {M} AS fp
+FROM winmin WHERE wsz >= {w}
+"""
+
+
+_REGISTRY["text_winnow_fingerprints"] = _q_text_winnow()
+
+
 # ==========================================================================
 # Batch 3 — breadth: multidimensional aggs, pivot, window frames, set ops,
 # distinct aggregation. All shared-text (dialects agree on these).

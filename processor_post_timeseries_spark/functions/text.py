@@ -109,3 +109,72 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         lang_id(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the rolling-hash fingerprint scheme): hash every k-gram
+    of the canonicalized text, slide a w-hash window, keep each window's
+    MINIMUM hash (rightmost on ties, per the paper), dedupe consecutive
+    selections. Guarantees any match of length >= w+k-1 shares a
+    fingerprint; output size ~ 2/(w+1) of the k-gram count.
+
+    Declarative Spark shape: k-grams via transform over an index
+    sequence, the rolling window via the min-over-frame window function
+    — no UDF. Hashes are md5 prefixes, so the DuckDB oracle replays the
+    selection exactly. Returns (doc_id, pos, fp) — pos is the k-gram
+    start (0-based) of each selected fingerprint.
+    """
+    from pyspark.sql.window import Window
+
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    n_grams = F.length(canon) - (k - 1)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), canon.alias("c")
+    ).filter(n_grams >= 1).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(F.col("c")) - (k - 1)),
+                lambda i: F.substr(F.col("c"), i, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    # 24-bit hash from the md5 prefix, packed with the BIT-FLIPPED
+    # position into one key: min(key) over the window IS the paper's
+    # "minimum hash, rightmost on ties" selection in a single window pass
+    # (no nested window referencing another window's aggregate — that
+    # construct silently compares each frame-row against its OWN min).
+    # 24+24 bits keeps the key far inside int64; positions are asserted
+    # under 2^24 chars (16M — far above any real document).
+    M = 1 << 24
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 6), 16, 10).cast("bigint").alias("h"),
+    )
+    key = F.col("h") * M + (M - 1 - F.col("pos"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    packed = (
+        hashed.withColumn("kmin", F.min(key).over(win))
+        .withColumn("wsz", F.count("*").over(win))
+        .filter(F.col("wsz") >= w)  # only full windows select
+        .select(
+            "doc_id",
+            (F.lit(M - 1) - F.col("kmin") % M).cast("int").alias("pos"),
+            # keys < 2^48: the double division is exact; floor = int div
+            F.floor(F.col("kmin") / M).cast("bigint").alias("fp"),
+        )
+        .distinct()
+    )
+    return packed

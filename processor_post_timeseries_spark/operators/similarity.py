@@ -89,6 +89,10 @@ def cosine_topk_np(
     qrows = (
         emb.filter(F.col(id_col) < n_queries).select(id_col, vec).collect()
     )
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(Q, axis=1)

@@ -252,3 +252,39 @@ def test_embedding_near_dup_pairs(spark):
     # (1 - theta/pi)^4 ~ 0.88; expect most twins found, all above threshold
     assert twin_hits >= 12, twin_hits
     assert all(v >= 0.95 for v in pairs.values())
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. SIGMOD'03): two docs sharing
+    a substring of length >= w + k - 1 share at least one fingerprint;
+    selection density ~ 2/(w+1)."""
+    from processor_post_timeseries_spark.functions.text import winnow_fingerprints
+
+    shared = "identical shared passage inside both documents here"
+    docs = spark.createDataFrame(
+        [
+            ("a", f"prefix alpha {shared} suffix one", "s"),
+            ("b", f"totally different opening {shared} and ending", "s"),
+            ("c", "no overlap with anything else at all whatsoever", "s"),
+        ],
+        "doc_id string, text string, source string",
+    )
+    k, w = 4, 5
+    fps = winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc["a"] & by_doc["b"], "shared passage must share a fingerprint"
+    # density: roughly 2/(w+1) of k-gram count, loose bounds
+    n_grams_a = len("prefix alpha identical shared passage inside both documents here suffix one") - k + 1
+    assert len(by_doc["a"]) < n_grams_a * 0.8
+    # determinism + partition invariance
+    fps2 = winnow_fingerprints(docs.repartition(7), k=k, w=w).collect()
+    assert {(r["doc_id"], r["pos"], r["fp"]) for r in fps} == \
+           {(r["doc_id"], r["pos"], r["fp"]) for r in fps2}
+
+
+def test_cosine_topk_np_empty_query_set(spark):
+    emb = _emb(spark, n=10)
+    out = cosine_topk_np(emb.filter("vec_id >= 100"), k=3, n_queries=5)
+    assert out.count() == 0 and out.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
