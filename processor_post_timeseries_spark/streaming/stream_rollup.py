@@ -71,3 +71,60 @@ def stream_sessionize(
             F.unix_micros(F.col("seg_end").cast("timestamp")).alias("seg_end_us"),
         )
     )
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document per content
+    hash, with state bounded by the watermark (a duplicate arriving later
+    than the watermark horizon is admitted again — the standard
+    bounded-state tradeoff; at 100 TB unbounded digest state is not an
+    option). Batch-mode callers get plain dropDuplicates semantics.
+    Streaming twin of ``operators.dedup.exact_dedup``."""
+    hashed = docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    if docs.isStreaming:
+        return hashed.withWatermark(event_time, watermark).dropDuplicates(
+            ["text_hash"]
+        )
+    return hashed.dropDuplicates(["text_hash"])
+
+
+def stream_rate_validate(
+    events: DataFrame,
+    declared: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    tolerance: float = 0.02,
+) -> DataFrame:
+    """Streaming twin of ``segments.validate_rates``: per (key, tumbling
+    window) the observed event count implies a rate; join the (static,
+    broadcastable) declared-rate dimension and flag windows whose
+    implied rate drifts more than ``tolerance`` from declared — the
+    online version of the reference's reader.py:82-106 check, for
+    catching a channel whose clock drifts MID-stream."""
+    win = F.window(F.col(ts_col), window)
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), win.alias("win"))
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "observed_rate_hz",
+            F.col("n")
+            / (F.unix_micros("win.end") - F.unix_micros("win.start"))
+            * 1_000_000.0,
+        )
+    )
+    joined = agg.join(F.broadcast(declared), key)
+    err = F.abs(F.col("observed_rate_hz") - F.col("declared_rate_hz")) * (
+        F.lit(1.0) / F.col("declared_rate_hz")
+    )
+    return joined.withColumn("rate_error", err).withColumn(
+        "rate_valid", ~(err > F.lit(tolerance))
+    )

@@ -57,3 +57,67 @@ def test_stream_sessionize_batch_twin(spark):
     assert got == {
         (u, base_us + s * 1_000_000): n for (u, s), n in exp_sessions.items()
     }
+
+
+def test_stream_exact_dedup_first_wins(spark, tmp_path):
+    """Streaming exact dedup admits exactly one doc per content hash
+    across triggers (state carried in the streaming checkpoint)."""
+    import datetime as dt
+
+    from processor_post_timeseries_spark.streaming.stream_rollup import stream_exact_dedup
+
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    base = dt.datetime(2024, 1, 1)
+    schema = "doc_id string, text string, ingest_ts timestamp"
+    batch1 = [("d1", "alpha", base), ("d2", "alpha", base), ("d3", "beta", base)]
+    spark.createDataFrame(batch1, schema).write.mode("overwrite").parquet(in_dir)
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream_exact_dedup(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2  # alpha once, beta once
+    # a later file re-sending 'alpha' within the watermark is suppressed
+    batch2 = [("d4", "alpha", base + dt.timedelta(minutes=1)),
+              ("d5", "gamma", base + dt.timedelta(minutes=1))]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(in_dir)
+    run_once()
+    texts = sorted(r["text"] for r in spark.read.parquet(out_dir).collect())
+    assert texts == ["alpha", "beta", "gamma"]
+    # batch mode: plain dropDuplicates semantics
+    bdf = spark.createDataFrame(batch1 + batch2, schema)
+    assert stream_exact_dedup(bdf).count() == 3
+
+
+def test_stream_rate_validate_batch_twin(spark):
+    """Per-window implied rate vs declared dimension: a channel declared
+    at 1 Hz emitting at 2 Hz must flag, at 1 Hz must pass."""
+    import datetime as dt
+
+    from processor_post_timeseries_spark.streaming.stream_rollup import stream_rate_validate
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for s in range(60):
+        rows.append((1, base + dt.timedelta(seconds=s)))          # 1 Hz
+        rows.append((2, base + dt.timedelta(seconds=s)))          # 2 Hz
+        rows.append((2, base + dt.timedelta(seconds=s, milliseconds=500)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    declared = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0)], "user_id long, declared_rate_hz double"
+    )
+    got = stream_rate_validate(ev, declared, window="1 minute")
+    rows = {r["user_id"]: r for r in got.collect()}
+    assert rows[1]["rate_valid"] and not rows[2]["rate_valid"]
+    assert abs(rows[2]["observed_rate_hz"] - 2.0) < 1e-9
