@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--fused", action="store_true", help="single-pass blocks+tiers kernel")
     ap.add_argument("--master", default=None, help="override master (default: env/local)")
+    ap.add_argument(
+        "--legacy-export",
+        action="store_true",
+        help="reference-workflow mode: --input is an events-like channel "
+        "table; writes channel-*.bin.gz + metadata.json + ordered import "
+        "manifest under --out (chunk via --chunk-size samples)",
+    )
+    ap.add_argument("--chunk-size", type=int, default=131_072 // 8)
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -66,6 +74,32 @@ def main(argv: list[str] | None = None) -> int:
     from processor_post_timeseries_spark.sources.synth import sequences
 
     spark = get_spark("pts-cli", master=args.master)
+
+    if args.legacy_export:
+        from processor_post_timeseries_spark.plans.legacy_export import (
+            export_legacy_channels,
+        )
+
+        if not args.input:
+            ap.error("--legacy-export requires --input (events-like table)")
+        t0 = time.perf_counter()
+        paths = export_legacy_channels(
+            spark, read_table(spark, args.input), args.out, chunk_size=args.chunk_size
+        )
+        n_files = spark.read.parquet(paths["manifest"]).count()
+        print(
+            json.dumps(
+                {
+                    "mode": "legacy-export",
+                    "paths": paths,
+                    "n_block_files": int(n_files),
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                }
+            )
+        )
+        spark.stop()
+        return 0
+
     seq = (
         sequences(spark, args.synth_docs, seed=42)
         if args.synth_docs

@@ -195,3 +195,58 @@ def test_channels_equal_predicate(spark):
                        F.col("nb"), F.col("tb"), F.col("rb")),
     )
     assert df.filter(F.col("got") != F.col("want")).count() == 0
+
+
+def test_export_legacy_channels_artifact_set(spark, tmp_path):
+    """Full reference-workflow export: chunked .bin.gz blocks with µs
+    frame-bound names, metadata sidecars, ordered import manifest —
+    decodable back to the exact per-channel sample streams."""
+    import datetime as dt
+    import glob
+    import gzip
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.plans.legacy_export import export_legacy_channels
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for ch in (0, 1, 2):
+        for s in range(257):  # 257 samples -> 3 blocks of 100 + 57
+            rows.append((ch, eid, base + dt.timedelta(seconds=s), float(ch * 1000 + s)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = str(tmp_path / "legacy")
+    paths = export_legacy_channels(spark, ev, out, chunk_size=100)
+
+    bins = sorted(glob.glob(os.path.join(out, "*.bin.gz")))
+    assert len(bins) == 9  # 3 channels x ceil(257/100)
+    # decode every block; per channel the concatenation equals the stream
+    per_ch: dict[int, list] = {}
+    for p in bins:
+        name = os.path.basename(p)
+        ch, start_us, end_us = name[8:13], *name[14:-7].split("_")
+        vals = np.frombuffer(gzip.decompress(open(p, "rb").read()), dtype=">f8")
+        per_ch.setdefault(int(ch), []).append((int(start_us), vals))
+        assert name.startswith(f"channel-{int(ch):05d}_")
+    for ch in (0, 1, 2):
+        stream = np.concatenate([v for _s, v in sorted(per_ch[ch])])
+        assert np.array_equal(stream, np.arange(257) + ch * 1000)
+
+    metas = sorted(glob.glob(os.path.join(out, "*.metadata.json")))
+    assert len(metas) == 3
+    m0 = json.load(open(metas[0]))
+    assert m0["name"] == "channel-0" and m0["unit"] == "uV"
+    assert m0["type"] == "CONTINUOUS" and m0["properties"] == []
+
+    man = spark.read.parquet(paths["manifest"]).orderBy("global_pos").collect()
+    assert len(man) == 9
+    keys = [r["upload_key"] for r in man]
+    assert keys == sorted(keys)  # (channel, start) order == global order
+    assert [r["global_pos"] for r in man] == list(range(9))
+    # every manifest entry points at a real file
+    assert all(os.path.exists(r["file_path"]) for r in man)
