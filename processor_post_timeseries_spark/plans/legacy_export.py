@@ -148,8 +148,13 @@ def export_legacy_channels(
                 name=F.concat(F.lit("channel-"), F.col(key).cast("string")),
                 start_us=F.col("start_us"),
                 end_us=F.col("end_us"),
+                # (n-1) intervals span (end-start) µs: for uniform sampling
+                # this equals the reference's 1/median(diff) exactly, so
+                # import's synthesized index/rate timestamps round-trip
                 rate=F.round(
-                    F.col("n") * 1e6 / (F.col("end_us") - F.col("start_us")), 6
+                    (F.col("n") - 1) * 1e6
+                    / F.greatest(F.col("end_us") - F.col("start_us"), F.lit(1)),
+                    6,
                 ),
                 group=F.lit(group),
             ).alias("meta_json"),

@@ -250,3 +250,51 @@ def test_export_legacy_channels_artifact_set(spark, tmp_path):
     assert [r["global_pos"] for r in man] == list(range(9))
     # every manifest entry points at a real file
     assert all(os.path.exists(r["file_path"]) for r in man)
+
+
+def test_legacy_import_roundtrip(spark, tmp_path):
+    """import(export(events)) reproduces every sample value and block
+    bound; metadata sidecars parse to valid channels; synthesized
+    timestamps follow the reference's index/rate rule."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.plans.legacy_export import export_legacy_channels
+    from processor_post_timeseries_spark.plans.legacy_import import (
+        legacy_samples,
+        read_legacy_blocks,
+        read_legacy_channels,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for ch in (0, 1):
+        for s in range(130):  # exact 10 Hz so rate round-trips cleanly
+            rows.append((ch, eid, base + dt.timedelta(milliseconds=100 * s),
+                         float(ch * 10_000 + s)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = str(tmp_path / "legacy")
+    export_legacy_channels(spark, ev, out, chunk_size=50)
+
+    blocks = read_legacy_blocks(spark, out)
+    assert blocks.count() == 2 * 3  # ceil(130/50) per channel
+    # every value survives, per channel, in order
+    got = legacy_samples(blocks, read_legacy_channels(spark, out))
+    exp = ev.select(
+        F.col("user_id").alias("channel_index"),
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    # inferred-rate variant (no channels frame) reproduces values too
+    got2 = legacy_samples(blocks)
+    assert got2.exceptAll(exp).count() == 0 and exp.exceptAll(got2).count() == 0
+
+    chans = {r["channel_index"]: r for r in read_legacy_channels(spark, out).collect()}
+    assert len(chans) == 2
+    assert chans[0]["type"] == "CONTINUOUS" and chans[0]["type_valid"]
+    assert abs(chans[0]["rate"] - 10.0) < 1e-6
+    assert chans[0]["name"] == "channel-0" and chans[0]["last_annotation"] == 0
