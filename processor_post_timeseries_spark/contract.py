@@ -1434,6 +1434,49 @@ FROM winmin WHERE wsz >= {w}
 _REGISTRY["text_winnow_fingerprints"] = _q_text_winnow()
 
 
+def _q_s5_legacy_roundtrip():
+    """S5/S7/S9 driver-visible certification: export the events table to
+    the reference's loose-file artifact set (chunked .bin.gz + metadata
+    sidecars), scan it back with the binaryFile source, decode, and
+    re-synthesize sample timestamps — per channel the sample count and
+    the decimal value sum must equal what DuckDB computes from the
+    original table. Proves the legacy byte format, the key regex, and
+    the index/rate timestamp rule survive a full disk round trip."""
+
+    def run(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from .plans.legacy_export import export_legacy_channels
+        from .plans.legacy_import import legacy_samples, read_legacy_blocks
+
+        load_views(spark, sf_dir)
+        out = tempfile.mkdtemp(prefix="pts_legacy_rt_")
+        export_legacy_channels(spark, spark.table("events"), out, chunk_size=50)
+        back = legacy_samples(read_legacy_blocks(spark, out))
+        return back.groupBy(F.col("channel_index").alias("user_id")).agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 6)
+            .cast("double")
+            .alias("value_sum"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+
+    return run, """
+SELECT user_id,
+       COUNT(*) AS n_samples,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 6) AS DOUBLE) AS value_sum,
+       MIN(epoch_us(ts)) AS start_us,
+       MAX(epoch_us(ts)) AS end_us
+FROM events GROUP BY user_id
+"""
+
+
+_REGISTRY["s5_legacy_roundtrip"] = _q_s5_legacy_roundtrip()
+
+
 # ==========================================================================
 # Batch 3 — breadth: multidimensional aggs, pivot, window frames, set ops,
 # distinct aggregation. All shared-text (dialects agree on these).
