@@ -87,12 +87,22 @@ def _write_stage(
     # task writes a file into every (source, bucket) dir it touches ->
     # tasks × partitions tiny files; with it, one task owns few dirs
     df.repartition(*key_cols).write.mode("overwrite").partitionBy(*key_cols).parquet(path)
-    cfg.metrics[stage] = obs.get
+    try:
+        cfg.metrics[stage] = obs.get
+    except Exception:
+        # a zero-row write never materializes its observation row (Spark
+        # asserts in toPyRow); an empty stage is a valid no-op
+        cfg.metrics[stage] = {"rows_written": 0}
     # partition keys this run wrote, WITHOUT re-executing the stage plan:
     # derived from the (column-pruned) stage input, whose key set equals
     # the output's (bucket is a pure function of doc_id)
     keys = (keys_from if keys_from is not None else df).select(*key_cols).distinct()
-    written = spark.read.parquet(path)
+    try:
+        written = spark.read.parquet(path)
+    except Exception:
+        # a zero-row stage leaves no data files to read back — nothing to
+        # certify, so no lineage rows (resume will re-attempt the keys)
+        return df.limit(0)
 
     def _record() -> None:
         lineage.record_stage(

@@ -110,3 +110,27 @@ def test_observe_metrics_captured(spark, tmp_path):
     assert cfg.metrics["blocks"]["rows_written"] == 15  # 1 block/doc at default size
     tiers_rows = cfg.metrics["tiers"]["rows_written"]
     assert tiers_rows == 15 * 2  # one row per doc per tier
+
+
+def test_pipeline_empty_input(spark, tmp_path):
+    """Zero-doc input must produce a clean, resumable (empty) run — no
+    kernel crashes on empty Arrow batches, no phantom lineage rows."""
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.plans import lineage
+    from processor_post_timeseries_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from processor_post_timeseries_spark.sources.synth import sequences
+
+    empty = sequences(spark, 8, seed=3).filter(F.col("n_tok") < 0).repartition(4)
+    cfg = PipelineConfig(out_dir=str(tmp_path / "o"), block_size=64, n_buckets=4,
+                         tiers=(("1s", 8), ("1m", 4)), resume=False)
+    paths = run_pipeline(spark, empty, cfg)
+    assert set(paths) >= {"blocks", "tiers"}
+    ck = lineage.read_checkpoint(spark, cfg.out_dir)
+    assert ck.count() == 0  # nothing written -> nothing certified
+    # a followup RESUME run over real data proceeds normally
+    cfg2 = PipelineConfig(out_dir=str(tmp_path / "o"), block_size=64, n_buckets=4,
+                          tiers=(("1s", 8), ("1m", 4)), resume=True)
+    run_pipeline(spark, sequences(spark, 8, seed=3), cfg2)
+    done = lineage.read_checkpoint(spark, cfg2.out_dir).filter("stage = 'blocks'")
+    assert done.count() > 0
