@@ -1477,6 +1477,65 @@ FROM events GROUP BY user_id
 _REGISTRY["s5_legacy_roundtrip"] = _q_s5_legacy_roundtrip()
 
 
+def _q_agg_sketches():
+    """Sketch aggregates with CERTIFIED error bounds: HyperLogLog++
+    distinct counts (rsd 2%) and approx percentile must land within
+    their documented error of the exact values — the exact values and
+    the bound checks are what the oracle verifies (sketch internals are
+    engine-specific; their GUARANTEES are not). At 100 TB the sketches
+    are the only affordable form of these aggregates: HLL++ is O(1)
+    memory per group vs a full distinct shuffle."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events")
+        agg = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+            F.expr("percentile_approx(value, 0.5, 10000)").alias("p50_approx"),
+            F.expr("percentile(value, 0.5)").alias("p50_exact"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        return agg.select(
+            "event_type",
+            "exact_distinct",
+            # 5 sigma of the 2% rsd — deterministic pass at these scales
+            (
+                F.abs(F.col("hll") - F.col("exact_distinct"))
+                <= F.greatest(F.col("exact_distinct") * 0.1, F.lit(2.0))
+            ).alias("hll_within_bound"),
+            # percentile_approx with accuracy 10000 on these group sizes
+            # must sit between the true min/max and within the exact
+            # p50's neighborhood (10% of the value range)
+            (
+                (F.col("p50_approx") >= F.col("min_v"))
+                & (F.col("p50_approx") <= F.col("max_v"))
+                & (
+                    F.abs(F.col("p50_approx") - F.col("p50_exact"))
+                    <= (F.col("max_v") - F.col("min_v")) * 0.1
+                )
+            ).alias("p50_within_bound"),
+            F.round(F.col("p50_exact").cast("decimal(28,6)"), 6)
+            .cast("double")
+            .alias("p50_exact"),
+        )
+
+    return run, """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       true AS hll_within_bound,
+       true AS p50_within_bound,
+       CAST(ROUND(CAST(median(value) AS DECIMAL(28,6)), 6) AS DOUBLE) AS p50_exact
+FROM events GROUP BY event_type
+"""
+
+
+_REGISTRY["agg_sketches"] = _q_agg_sketches()
+
+
 # ==========================================================================
 # Batch 3 — breadth: multidimensional aggs, pivot, window frames, set ops,
 # distinct aggregation. All shared-text (dialects agree on these).
