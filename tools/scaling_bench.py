@@ -147,6 +147,14 @@ tokens. Subsequent protocol runs append here:
 |---|---|---|---|---|
 {hist_rows}
 
+Knee evidence (same-day, same binary and corpus): the 2v8 run's 2-core
+legs ran at 7.8-9.8M tokens/s — about half the host's observed total-bus
+ceiling (~18-21M) — so its 8-thread legs were bandwidth-capped and the
+ratio collapsed to 0.447 for host reasons; the 1v4 runs (both legs below
+the ceiling) measured medians 0.855 and 0.988, with 4-core absolute
+throughput exceeding the best 8-thread figure — saturation, not engine
+overhead.
+
 Why N={N_CPUS} (one {N_CPUS}-core executor) vs 4N={N4_CPUS}: this
 sandbox is one VM whose memory bandwidth saturates at ~8-12 heavy
 threads on a normal day (measured: a 32-thread run of the same job is
