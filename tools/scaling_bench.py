@@ -191,6 +191,12 @@ baseline to beat round over round.
 | GEMM pandas kernel for ANN top-k | 10x on the ann_cosine_topk bench query |
 | fused single-pass blocks+tiers kernel | REJECTED: measured 1.5x slower (padding + wider Arrow frames); kept as opt-in plans/ingest.py |
 | alternating-pairs scaling protocol | cancels +-30-45% host drift a single pair cannot |
+| r2: IVF centroid update as per-batch partial sums | removes the collect_list OOM path; build cost unchanged |
+| r2: cogrouped per-cluster GEMM + lossless per-cluster top-k | ann_ivf_topk 9s -> ~4s at sf0.1 (kills a multi-M-row distinct) |
+| r2: per-bucket GEMM near-dup verify | embedding near-dup ~2.5s steady at sf0.1 |
+| r2: LSH planes hoisted to literal arrays | removes O(rows x dim x planes) constant md5s from the JVM |
+| r2: xxh64 minhash family (md5 kept for the oracle) | dedup LSH 6.9s -> 5.4s at sf0.1 (4x smaller signature shuffle) |
+| r2: batch-vectorized simhash (unique-word table + reduceat) | no per-doc Python loop; enabled the exact SQL oracle |
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
