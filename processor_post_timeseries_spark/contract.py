@@ -510,7 +510,12 @@ def _q_dedup_minhash():
         from .operators.dedup import lsh_candidate_pairs
 
         load_views(spark, sf_dir)
-        return lsh_candidate_pairs(spark.table("documents"), n_hashes=16, n_bands=4)
+        # the oracle replays UNCAPPED banding, so disable the production
+        # skew cap here — the certified semantics and the engine's must
+        # be the same definition, not merely agree on friendly data
+        return lsh_candidate_pairs(
+            spark.table("documents"), n_hashes=16, n_bands=4, max_bucket_size=None
+        )
 
     mins = ",\n         ".join(
         f"MIN(md5('{k}' || ':' || shingle)) AS h{k:02d}" for k in range(16)
@@ -614,8 +619,13 @@ def _q_dedup_embedding_cosine():
         from .operators.dedup import embedding_near_dup_pairs
 
         load_views(spark, sf_dir)
+        # uncapped, matching the oracle's uncapped bucket join (the skew
+        # cap is the production default, certified by the skew pytest)
         return embedding_near_dup_pairs(
-            spark.table("embeddings"), threshold=threshold, n_planes=n_planes
+            spark.table("embeddings"),
+            threshold=threshold,
+            n_planes=n_planes,
+            max_bucket_size=None,
         )
 
     return run, f"""
@@ -973,9 +983,15 @@ def _q_s6_channel_metadata():
         )
         # samples/day keeps the double in the plain-decimal print range
         # ([1e-3, 1e7)): Spark's Jackson and DuckDB's formatter agree there
-        # but diverge on scientific notation (2.2E-5 vs 0.000022)
+        # but diverge on scientific notation (2.2E-5 vs 0.000022).
+        # GREATEST(span,1): a single-sample channel would otherwise divide
+        # by zero -> NULL rate, and the engines serialize a null field
+        # differently (Spark omits it, json_object emits "rate":null)
         rate = F.round(
-            F.col("n") * 86400000000.0 / (F.col("end_us") - F.col("start_us")), 6
+            F.col("n")
+            * 86400000000.0
+            / F.greatest(F.col("end_us") - F.col("start_us"), F.lit(1)),
+            6,
         )
         props = F.array(
             F.struct(F.lit("src").alias("key"), F.lit("events").alias("value")),
@@ -1032,7 +1048,7 @@ WITH ext AS (
   FROM events GROUP BY user_id
 ), c AS (
   SELECT user_id, start_us, end_us,
-         ROUND(n * 86400000000.0 / (end_us - start_us), 6) AS rate,
+         ROUND(n * 86400000000.0 / GREATEST(end_us - start_us, 1), 6) AS rate,
          CASE WHEN user_id % 2 = 0
               THEN 'N:channel:' || CAST(user_id AS VARCHAR) END AS cid
   FROM ext
@@ -1110,12 +1126,34 @@ WITH first10 AS (
 )
 SELECT user_id, declared_rate_hz, inferred_rate_hz,
        ROUND(abs(inferred_rate_hz - declared_rate_hz) * (1.0 / declared_rate_hz), 9) AS rate_error,
-       NOT (abs(inferred_rate_hz - declared_rate_hz) * (1.0 / declared_rate_hz) > 0.02) AS rate_valid
+       CASE WHEN declared_rate_hz IS NULL OR declared_rate_hz <= 0 THEN false
+            ELSE NOT (abs(inferred_rate_hz - declared_rate_hz) * (1.0 / declared_rate_hz) > 0.02)
+       END AS rate_valid
 FROM chans
 """
 
 
 _REGISTRY["a2_rate_validation"] = _q_a2_rate_validation()
+
+
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Bounded scratch space for contract queries that materialize files:
+    one fixed directory per (query, sf) that each run wipes and reuses —
+    tempfile.mkdtemp would leak a full artifact set per driver run. The
+    returned DataFrame reads from it lazily, so deletion can only happen
+    at the START of the next run, never at the end of this one."""
+    import hashlib
+    import shutil
+
+    import os as _os
+
+    p = _os.path.join(
+        "/tmp/pts_contract_scratch",
+        f"{name}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(p, ignore_errors=True)
+    _os.makedirs(p, exist_ok=True)
+    return p
 
 
 def _q_s8_lineage_certify():
@@ -1129,15 +1167,13 @@ def _q_s8_lineage_certify():
     BLOCK = 64
 
     def run(spark, sf_dir):
-        import tempfile
-
         from pyspark.sql import functions as F
 
         from .plans import lineage
         from .plans.pipeline import PipelineConfig, run_pipeline
 
         seq = _char_tokens_df(spark, sf_dir)
-        out_dir = tempfile.mkdtemp(prefix="pts_lineage_certify_")
+        out_dir = _scratch_dir("lineage_certify", sf_dir)
         cfg = PipelineConfig(
             out_dir=out_dir, block_size=BLOCK, n_buckets=8,
             tiers=(("1s", 16), ("1m", 4)), resume=False,
@@ -1408,7 +1444,8 @@ WITH canon AS (
 ), grams AS (
   SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
          substr(c, CAST(i AS INTEGER), {k}) AS gram
-  FROM canon, (SELECT unnest(range(1, 100001)) AS i) g
+  FROM canon,
+       (SELECT unnest(range(1, (SELECT COALESCE(MAX(len(c)), 0) FROM canon) + 1)) AS i) g
   WHERE i <= len(c) - {k - 1}
 ), hashed AS (
   SELECT doc_id, pos, CAST({h24} AS BIGINT) AS h
@@ -1444,15 +1481,13 @@ def _q_s5_legacy_roundtrip():
     the index/rate timestamp rule survive a full disk round trip."""
 
     def run(spark, sf_dir):
-        import tempfile
-
         from pyspark.sql import functions as F
 
         from .plans.legacy_export import export_legacy_channels
         from .plans.legacy_import import legacy_samples, read_legacy_blocks
 
         load_views(spark, sf_dir)
-        out = tempfile.mkdtemp(prefix="pts_legacy_rt_")
+        out = _scratch_dir("legacy_rt", sf_dir)
         export_legacy_channels(spark, spark.table("events"), out, chunk_size=50)
         back = legacy_samples(read_legacy_blocks(spark, out))
         return back.groupBy(F.col("channel_index").alias("user_id")).agg(

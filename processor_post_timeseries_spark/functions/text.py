@@ -151,12 +151,18 @@ def winnow_fingerprints(
     # "minimum hash, rightmost on ties" selection in a single window pass
     # (no nested window referencing another window's aggregate — that
     # construct silently compares each frame-row against its OWN min).
-    # 24+24 bits keeps the key far inside int64; positions are asserted
-    # under 2^24 chars (16M — far above any real document).
+    # 24+24 bits keeps the key far inside int64; a doc with >= 2^24
+    # k-grams (a 16M-char document) would alias positions, so it raises
+    # loudly instead of silently mis-fingerprinting.
     M = 1 << 24
+    guarded_pos = F.when(F.col("pos") < M, F.col("pos")).otherwise(
+        F.raise_error(
+            F.lit("winnow_fingerprints: document exceeds 2^24 k-grams")
+        ).cast("int")
+    )
     hashed = grams.select(
         "doc_id",
-        "pos",
+        guarded_pos.alias("pos"),
         F.conv(F.substring(F.md5(F.col("gram")), 1, 6), 16, 10).cast("bigint").alias("h"),
     )
     key = F.col("h") * M + (M - 1 - F.col("pos"))

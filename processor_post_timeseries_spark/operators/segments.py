@@ -109,9 +109,17 @@ def validate_rates(
     engine shape: callers filter or fail the batch. ``mode="fail"``
     reproduces the reference's raise-on-first-violation with its message
     format (one bounded ``limit(1)`` action, not a collect of the table)."""
-    err = F.abs(F.col(inferred) - F.col(declared)) * (F.lit(1.0) / F.col(declared))
+    # guard the division itself: ANSI mode (Spark 4 default) raises on
+    # x/0, and a NULL error would make rate_valid NULL — a row escaping
+    # both the valid and invalid sets (the reference would have raised a
+    # ZeroDivisionError here)
+    err = F.when(
+        F.col(declared) > 0,
+        F.abs(F.col(inferred) - F.col(declared)) * (F.lit(1.0) / F.col(declared)),
+    )
     out = df.withColumn("rate_error", err).withColumn(
-        "rate_valid", ~(err > F.lit(tolerance))
+        "rate_valid",
+        F.when(err.isNull(), F.lit(False)).otherwise(~(err > F.lit(tolerance))),
     )
     if mode == "fail":
         bad = out.filter(~F.col("rate_valid")).limit(1).collect()

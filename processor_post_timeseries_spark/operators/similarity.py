@@ -167,6 +167,14 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8, vec: str = "embedding", id_co
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    # a vector whose dim differs from the probed one would NULL-poison
+    # its projections and silently collapse into bucket 0 (re-creating
+    # the hot bucket this module exists to avoid) — raise loudly instead
+    bucket = F.when(F.size(F.col(vec)) == dim, bucket).otherwise(
+        F.raise_error(
+            F.lit(f"lsh_buckets: embedding dim differs from probed dim {dim}")
+        ).cast("int")
+    )
     return out.withColumn("bucket", bucket.cast("int")).select(id_col, "bucket")
 
 

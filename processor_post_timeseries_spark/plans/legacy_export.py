@@ -132,6 +132,18 @@ def export_legacy_channels(
     receipts_path = os.path.join(out_dir, "_receipts")
     receipts.write.mode("overwrite").parquet(receipts_path)
     receipts = spark.read.parquet(receipts_path)
+    # the reference key carries (index, start, end) only — two blocks of
+    # one channel whose samples all share a timestamp would collide and
+    # silently clobber each other; fail loudly instead of losing data
+    counts = receipts.groupBy().agg(
+        F.count("*").alias("n"), F.countDistinct("file_name").alias("d")
+    ).collect()[0]
+    if counts["n"] != counts["d"]:
+        raise ValueError(
+            f"legacy export: {counts['n'] - counts['d']} block file-name "
+            "collisions (blocks with identical (channel, start_us, end_us) "
+            "— duplicate-timestamp data cannot use the legacy key format)"
+        )
 
     # -- channel metadata sidecars (S6) ------------------------------------
     ext = (

@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from ..functions.legacy import channel_from_json, decode_legacy_block
 
-_KEY_RE = r"channel-([0-9]{5})_([0-9]+)_([0-9]+)\.bin\.gz$"
+_KEY_RE = r"channel-([0-9]{5,})_([0-9]+)_([0-9]+)\.bin\.gz$"
 
 
 def read_legacy_blocks(spark: SparkSession, in_dir: str) -> DataFrame:
@@ -67,7 +67,7 @@ def read_legacy_channels(spark: SparkSession, in_dir: str) -> DataFrame:
     )
     name = F.element_at(F.split(F.col("path"), "/"), -1)
     parsed = raw.select(
-        F.regexp_extract(name, r"channel-([0-9]{5})\.metadata\.json$", 1)
+        F.regexp_extract(name, r"channel-([0-9]{5,})\.metadata\.json$", 1)
         .cast("bigint")
         .alias("channel_index"),
         channel_from_json(F.col("content").cast("string")).alias("c"),

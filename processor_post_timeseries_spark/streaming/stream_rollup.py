@@ -88,7 +88,12 @@ def stream_exact_dedup(
     Streaming twin of ``operators.dedup.exact_dedup``."""
     hashed = docs.withColumn("text_hash", F.md5(F.col(text_col)))
     if docs.isStreaming:
-        return hashed.withWatermark(event_time, watermark).dropDuplicates(
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+        # dropDuplicates on a key subset without the event-time column
+        # never evicts its state (unbounded growth); the WithinWatermark
+        # variant expires each hash once the watermark passes it — the
+        # bounded-state semantics documented above
+        return hashed.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
             ["text_hash"]
         )
     return hashed.dropDuplicates(["text_hash"])
@@ -110,21 +115,38 @@ def stream_rate_validate(
     online version of the reference's reader.py:82-106 check, for
     catching a channel whose clock drifts MID-stream."""
     win = F.window(F.col(ts_col), window)
+    # rate from the ACTUAL observed span ((n-1) intervals over max-min),
+    # not the nominal window duration — otherwise every partial window
+    # (stream start, channel onset/offset mid-window) is a false positive
     agg = (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.col(key), win.alias("win"))
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.unix_micros(F.col(ts_col))).alias("first_us"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("last_us"),
+        )
         .withColumn(
             "observed_rate_hz",
-            F.col("n")
-            / (F.unix_micros("win.end") - F.unix_micros("win.start"))
-            * 1_000_000.0,
+            F.when(
+                (F.col("n") > 1) & (F.col("last_us") > F.col("first_us")),
+                (F.col("n") - 1)
+                * 1_000_000.0
+                / (F.col("last_us") - F.col("first_us")),
+            ),
         )
     )
     joined = agg.join(F.broadcast(declared), key)
-    err = F.abs(F.col("observed_rate_hz") - F.col("declared_rate_hz")) * (
-        F.lit(1.0) / F.col("declared_rate_hz")
+    # declared <= 0 guard also keeps ANSI mode (Spark 4 default) from
+    # raising on the division
+    err = F.when(
+        F.col("declared_rate_hz") > 0,
+        F.abs(F.col("observed_rate_hz") - F.col("declared_rate_hz"))
+        * (F.lit(1.0) / F.col("declared_rate_hz")),
     )
     return joined.withColumn("rate_error", err).withColumn(
-        "rate_valid", ~(err > F.lit(tolerance))
+        "rate_valid",
+        # too few samples or an unusable declared rate -> cannot
+        # validate -> flag
+        F.when(err.isNull(), F.lit(False)).otherwise(~(err > F.lit(tolerance))),
     )

@@ -298,3 +298,38 @@ def test_legacy_import_roundtrip(spark, tmp_path):
     assert chans[0]["type"] == "CONTINUOUS" and chans[0]["type_valid"]
     assert abs(chans[0]["rate"] - 10.0) < 1e-6
     assert chans[0]["name"] == "channel-0" and chans[0]["last_annotation"] == 0
+
+
+def test_legacy_export_rejects_filename_collisions(spark, tmp_path):
+    """Two blocks of one channel with identical (start,end) would clobber
+    each other under the reference key format — must raise, not lose data."""
+    import datetime as dt
+
+    import pytest
+
+    from processor_post_timeseries_spark.plans.legacy_export import export_legacy_channels
+
+    base = dt.datetime(2024, 1, 1)
+    # 6 samples all at the SAME timestamp, chunk_size 2 -> 3 colliding blocks
+    rows = [(1, i, base, float(i)) for i in range(6)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    with pytest.raises(ValueError, match="collision"):
+        export_legacy_channels(spark, ev, str(tmp_path / "x"), chunk_size=2)
+
+
+def test_legacy_import_six_digit_channel_index(spark, tmp_path):
+    """%05d pads but never truncates: channel 100000 exports as a 6-digit
+    key and must import back (regex is {5,} not {5})."""
+    import datetime as dt
+
+    from processor_post_timeseries_spark.plans.legacy_export import export_legacy_channels
+    from processor_post_timeseries_spark.plans.legacy_import import read_legacy_blocks
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(100000, i, base + dt.timedelta(seconds=i), float(i)) for i in range(5)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    out = str(tmp_path / "big")
+    export_legacy_channels(spark, ev, out, chunk_size=10)
+    got = read_legacy_blocks(spark, out).collect()
+    assert len(got) == 1 and got[0]["channel_index"] == 100000
+    assert list(got[0]["values"]) == [0.0, 1.0, 2.0, 3.0, 4.0]

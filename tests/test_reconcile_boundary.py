@@ -74,3 +74,20 @@ def test_infer_rate_hz_median_of_first_10(spark):
     r = infer_rate_hz(df, "ch", "ts_us").collect()[0]
     assert r["median_delta_us"] == 1000.0
     assert r["inferred_rate_hz"] == 1000.0
+
+
+def test_rate_validation_zero_and_null_declared(spark):
+    """Declared rate 0 or NULL cannot validate anything: unconditionally
+    invalid (the reference would raise ZeroDivisionError), never NULL."""
+    from pyspark.sql import functions as F
+
+    from processor_post_timeseries_spark.operators.segments import validate_rates
+
+    df = spark.createDataFrame(
+        [("zero", 0.0, 100.0), ("null", None, 100.0), ("ok", 100.0, 100.0)],
+        "name string, declared_rate_hz double, inferred_rate_hz double",
+    )
+    got = {r["name"]: r for r in validate_rates(df).collect()}
+    assert got["zero"]["rate_valid"] is False
+    assert got["null"]["rate_valid"] is False
+    assert got["ok"]["rate_valid"] is True

@@ -121,3 +121,22 @@ def test_stream_rate_validate_batch_twin(spark):
     rows = {r["user_id"]: r for r in got.collect()}
     assert rows[1]["rate_valid"] and not rows[2]["rate_valid"]
     assert abs(rows[2]["observed_rate_hz"] - 2.0) < 1e-9
+
+
+def test_stream_rate_validate_partial_window_no_false_positive(spark):
+    """A healthy 1 Hz channel that starts mid-window must NOT flag: the
+    rate comes from the observed span, not the nominal window length."""
+    import datetime as dt
+
+    from processor_post_timeseries_spark.streaming.stream_rollup import stream_rate_validate
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(7, base + dt.timedelta(seconds=30 + s)) for s in range(30)]
+    rows += [(8, base + dt.timedelta(seconds=10))]  # single event: can't infer
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    declared = spark.createDataFrame(
+        [(7, 1.0), (8, 1.0)], "user_id long, declared_rate_hz double"
+    )
+    got = {r["user_id"]: r for r in stream_rate_validate(ev, declared, window="1 minute").collect()}
+    assert got[7]["rate_valid"] and abs(got[7]["observed_rate_hz"] - 1.0) < 1e-9
+    assert got[8]["observed_rate_hz"] is None and not got[8]["rate_valid"]
