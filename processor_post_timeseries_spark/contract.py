@@ -1761,3 +1761,202 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 
 
 _REGISTRY["ann_ivf_topk"] = _q_ann_ivf()
+
+
+# ==========================================================================
+# Batch 3 (round 2) — timeseries alignment / interval / resample /
+# clustering / sampling operators beyond the reference inventory.
+# ==========================================================================
+
+
+def _q_j3_asof_align():
+    """J3+ — backward as-of join (align purchases to the most recent view
+    per user, 2 h tolerance). The engine runs the union-marker
+    single-window plan (operators/asof.py); the oracle replays the same
+    semantics with the portable cumulative-count idiom (the matching view
+    is the vcnt-th view), so IGNORE-NULLS dialect drift never enters."""
+    TOL = 7_200_000_000  # 2 h in µs
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.asof import asof_join
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events").select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+        )
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts_us"
+        )
+        right = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts_us", "event_id", "value"
+        )
+        out = asof_join(
+            left,
+            right,
+            by="user_id",
+            ts="ts_us",
+            right_cols={"event_id": "view_event_id", "value": "view_value"},
+            tolerance_us=TOL,
+            left_ts_alias="purchase_ts_us",
+            right_ts_alias="view_ts_us",
+            right_tiebreak="event_id",
+        )
+        return out.withColumn("lag_us", out["purchase_ts_us"] - out["view_ts_us"])
+
+    return run, f"""
+WITH v AS (
+  SELECT user_id, {{EPOCH_US}}(ts) AS ts_us, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY {{EPOCH_US}}(ts), event_id) AS v_idx
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, {{EPOCH_US}}(ts) AS ts_us, event_id
+  FROM events WHERE event_type = 'purchase'
+), u AS (
+  SELECT user_id, ts_us, event_id, 0 AS side FROM v
+  UNION ALL
+  SELECT user_id, ts_us, event_id, 1 AS side FROM p
+), c AS (
+  SELECT user_id, ts_us, event_id, side,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts_us, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vcnt
+  FROM u
+)
+SELECT c.user_id, c.event_id, c.ts_us AS purchase_ts_us,
+       CASE WHEN c.ts_us - v.ts_us <= {TOL} THEN v.event_id END AS view_event_id,
+       CASE WHEN c.ts_us - v.ts_us <= {TOL} THEN v.value END AS view_value,
+       CASE WHEN c.ts_us - v.ts_us <= {TOL} THEN v.ts_us END AS view_ts_us,
+       CASE WHEN c.ts_us - v.ts_us <= {TOL} THEN c.ts_us - v.ts_us END AS lag_us
+FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.v_idx = c.vcnt
+WHERE c.side = 1
+"""
+
+
+def _render_oracle(template: str) -> str:
+    return _render(template, _DUCK_DIALECT)
+
+
+_j3 = _q_j3_asof_align()
+_REGISTRY["j3_asof_align"] = (_j3[0], _render_oracle(_j3[1]))
+
+
+def _q_j4_interval_join():
+    """J4+ — grid-bucketed range join (operators/interval.py): every
+    event landing in one of the first-20 signup-anchored 6 h windows,
+    aggregated per window. The oracle replays the containment predicate
+    as a plain inequality join — same half-open [start, end) semantics,
+    different physical plan."""
+    WIDTH = 21_600_000_000  # 6 h
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.interval import interval_join
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events").select(
+            "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+        )
+        iv = (
+            ev.filter(spark.table("events")["event_type"] == "signup")
+            .orderBy("ts_us", "event_id")
+            .limit(20)
+            .select(
+                F.col("event_id").alias("interval_id"),
+                F.col("ts_us").alias("start_us"),
+                (F.col("ts_us") + WIDTH).alias("end_us"),
+            )
+        )
+        pts = ev.select("user_id", "value", "ts_us")
+        j = interval_join(pts, iv, "ts_us", "start_us", "end_us", grid_us=WIDTH)
+        return j.groupBy("interval_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    return run, f"""
+WITH iv AS (
+  SELECT event_id AS interval_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + {WIDTH} AS end_us
+  FROM events WHERE event_type = 'signup'
+  ORDER BY ts, event_id LIMIT 20
+)
+SELECT iv.interval_id,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM iv JOIN events e
+  ON epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.end_us
+GROUP BY iv.interval_id
+""".replace("{WIDTH}", str(WIDTH))
+
+
+_REGISTRY["j4_interval_join"] = _q_j4_interval_join()
+
+
+def _q_w7_resample_linear():
+    """W7+ — linear-interpolation resampling onto a 6 h grid per user
+    (operators/resample.py, single-window-pass plan). The oracle resolves
+    the same brackets with the portable cumulative-count idiom and
+    identical arithmetic/rounding, so values match bit-for-bit."""
+    STEP = 21_600_000_000  # 6 h
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.resample import resample_linear
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events").select(
+            "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+        )
+        return resample_linear(
+            ev, by="user_id", ts_col="ts_us", val_col="value",
+            step_us=STEP, tiebreak="event_id",
+        )
+
+    return run, f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS idx
+  FROM events
+), ext AS (
+  SELECT user_id, MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series((mn + {STEP} - 1) // {STEP} * {STEP}, mx, {STEP})) AS gts
+  FROM ext
+), u AS (
+  SELECT user_id, ts_us AS ts, 0 AS side FROM e
+  UNION ALL
+  SELECT user_id, gts AS ts, 1 AS side FROM grid
+), c AS (
+  SELECT user_id, ts, side,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_idx
+  FROM u
+)
+SELECT c.user_id, c.ts AS grid_ts_us,
+       CASE WHEN p.ts_us = c.ts THEN p.value
+            ELSE CAST(ROUND(COALESCE(
+                   p.value + (c.ts - p.ts_us) * (n.value - p.value)
+                             / NULLIF(n.ts_us - p.ts_us, 0),
+                   p.value), 6) AS DOUBLE)
+       END AS v
+FROM c
+JOIN e p ON p.user_id = c.user_id AND p.idx = c.prev_idx
+LEFT JOIN e n ON n.user_id = c.user_id AND n.idx = c.prev_idx + 1
+WHERE c.side = 1
+""".replace("{STEP}", str(STEP))
+
+
+_REGISTRY["w7_resample_linear"] = _q_w7_resample_linear()
