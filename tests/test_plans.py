@@ -97,3 +97,43 @@ def test_lineage_resume_antijoin_is_broadcast(spark, tmp_path):
     pending = lineage.pending_only(seq, spark, cfg.out_dir, "blocks", ["source", "bucket"])
     plan = _plan(pending)
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan) or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """asof_join must compile to window exchanges only — never a range
+    join (BroadcastNestedLoop / CartesianProduct), which is the naive
+    O(|L|x|R|) theta-join shape it exists to avoid."""
+    from processor_post_timeseries_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 1)], "k int, ts long, lid int")
+    right = spark.createDataFrame([(1, 90, 1.0, 1)], "k int, ts long, v double, rid int")
+    plan = _plan(asof_join(left, right, by="k", ts="ts",
+                           right_cols={"v": "rv"}, right_tiebreak="rid"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_interval_join_is_equi_join_on_cell(spark):
+    """interval_join's containment must ride an equi-join on the grid
+    cell (hash/sort-merge/broadcast-HASH), never a nested-loop scan."""
+    from processor_post_timeseries_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame([(5, 1)], "ts long, pid int")
+    iv = spark.createDataFrame([(0, 10, 1)], "s long, e long, iid int")
+    plan = _plan(interval_join(pts, iv, "ts", "s", "e", grid_us=4))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_resample_has_no_joins_at_all(spark):
+    """resample_linear resolves both brackets in one window pass — the
+    plan must contain window exchanges but zero join operators."""
+    from processor_post_timeseries_spark.operators.resample import resample_linear
+
+    df = spark.createDataFrame([(1, 0, 1.0, 1), (1, 10, 2.0, 2)],
+                               "k int, ts long, v double, i int")
+    plan = _plan(resample_linear(df, "k", "ts", "v", step_us=5, tiebreak="i"))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
