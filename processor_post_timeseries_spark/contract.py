@@ -2151,3 +2151,83 @@ SELECT source, gram, n_occ, rank FROM (
 
 
 _REGISTRY["text_ngram_topk"] = _q_text_ngram_topk()
+
+
+def _q_agg_heavy_hitters():
+    """Agg+ — certified-exact heavy hitters (operators/heavy_hitters.py,
+    Misra-Gries candidates -> exact recount -> certify-or-fallback). The
+    oracle computes the true top-k AND the same certificate arithmetic
+    from exact counts; the operator's output equals it whether the
+    certificate held (sketch path) or not (exact fallback) — that
+    equivalence is the contract."""
+    K, CAP = 5, 30
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.heavy_hitters import heavy_hitters
+
+        load_views(spark, sf_dir)
+        words = spark.table("documents").select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        return heavy_hitters(words, "word", k=K, capacity=CAP)
+
+    return run, f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS item FROM documents
+), c AS (
+  SELECT item, COUNT(*) AS n_occ FROM w WHERE item IS NOT NULL GROUP BY item
+), t AS (
+  SELECT item, n_occ, ROW_NUMBER() OVER (ORDER BY n_occ DESC, item) AS rank FROM c
+), s AS (
+  SELECT CAST(SUM(n_occ) AS BIGINT) AS n_total, COUNT(*) AS vocab FROM c
+)
+SELECT t.item, t.n_occ, t.rank,
+       ((SELECT MIN(n_occ) FROM t WHERE rank <= {K}) > s.n_total / {CAP + 1}.0
+        OR s.vocab <= {CAP}) AS certified
+FROM t, s WHERE t.rank <= {K}
+"""
+
+
+_REGISTRY["agg_heavy_hitters"] = _q_agg_heavy_hitters()
+
+
+def _q_retention_policy():
+    """Retention+ — the keep/drop decision function the destructive
+    partition-drop path executes (plans/retention.py). Inventory =
+    (tier, day) grid derived from events; policy raw=7d, t1m=21d
+    relative to the newest day. The oracle replays the half-open cutoff
+    arithmetic exactly."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .plans.retention import RetentionPolicy, retention_decisions
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events")
+        days = ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day")
+        ).distinct()
+        tiers = spark.createDataFrame([("raw",), ("t1m",)], "tier string")
+        parts = days.crossJoin(tiers)
+        now_day = days.agg(F.max("day")).collect()[0][0]
+        return retention_decisions(
+            parts, RetentionPolicy({"raw": 7, "t1m": 21}), int(now_day)
+        )
+
+    return run, """
+WITH d AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events
+), t AS (
+  SELECT 'raw' AS tier, 7 AS keep UNION ALL SELECT 't1m', 21
+), m AS (
+  SELECT MAX(day) AS now_day FROM d
+)
+SELECT t.tier, d.day, (d.day > m.now_day - t.keep) AS kept
+FROM d, t, m
+"""
+
+
+_REGISTRY["retention_policy"] = _q_retention_policy()

@@ -1,0 +1,113 @@
+"""Heavy hitters (frequent items) with certified exactness — the
+sketch-side companion to ``agg_sketches``' HLL++/percentile bounds.
+
+Two-pass design (Misra-Gries '82, merged per Agarwal et al.,
+"Mergeable Summaries", PODS'12):
+
+1. **Candidate pass** — every partition folds its Arrow batches into a
+   capacity-``m`` Misra-Gries summary (batch-vectorized: per-batch
+   ``value_counts`` merged into a vocab-sized counter table, then one
+   decrement step — no per-row Python). MG guarantees any item with
+   global frequency > N/(m+1) survives in at least one partition's
+   summary (pigeonhole over partition totals), so the union of
+   candidates provably contains every such item. Shuffle cost: at most
+   ``m`` items per partition — corpus-size-independent.
+2. **Recount pass** — exact counts for the candidate set only, via a
+   broadcast semi-join + one aggregation over candidate rows.
+
+The result is **certified exact** when the k-th recounted frequency
+exceeds N/(m+1): every non-candidate then has a strictly smaller count
+than all reported items, so the top-k is the true top-k. If the
+certificate fails (flat distributions / tiny corpora), the operator
+falls back to the exact full aggregation — output is exact either way;
+only the cost model changes. At 100 TB with Zipfian token data and a
+sane ``capacity`` the certificate holds and the fallback never runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(df: DataFrame, item_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned and deduped."""
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cnt = pd.Series(dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[item_col].value_counts()
+            cnt = cnt.add(vc, fill_value=0).astype("int64")
+            if len(cnt) > capacity:
+                # batch decrement: subtract the (m+1)-th largest count
+                # from everyone and drop the non-positive — removes
+                # >= (m+1)*delta total mass per round, so cumulative
+                # decrements stay <= N/(m+1) (the MG invariant)
+                thresh = cnt.nlargest(capacity + 1).iloc[-1]
+                cnt = cnt[cnt > thresh] - thresh
+        yield pd.DataFrame({item_col: cnt.index.astype(str)})
+
+    return (
+        df.select(F.col(item_col).cast("string").alias(item_col))
+        .mapInPandas(mg, schema=f"{item_col} string")
+        .distinct()
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Exact top-``k`` items by frequency: (item, n_occ, rank, certified).
+
+    ``certified`` reports whether the sketch path alone proved
+    exactness (k-th count > N/(capacity+1)); when false the exact
+    fallback aggregation produced the result. Ties rank by item
+    ascending, so output is fully deterministic."""
+    from pyspark.sql.window import Window
+
+    items = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    n_total = items.count()
+    threshold = n_total / (capacity + 1)
+
+    cand = _mg_candidates(items, "item", capacity)
+    counts = (
+        items.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.orderBy(F.desc("n_occ"), F.asc("item"))
+    topk = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .persist()
+    )
+    rows = topk.collect()
+    kth = min((r["n_occ"] for r in rows), default=0)
+    certified = bool(rows) and kth > threshold
+    if not certified and rows:
+        # secondary certificate: if the whole vocabulary fits the
+        # capacity, no partition can ever have evicted, so the recount
+        # saw the full truth. (Checked as a partition-INVARIANT property
+        # — never "did candidates happen to cover everything", which
+        # would make `certified` depend on data layout.)
+        certified = items.distinct().count() <= capacity
+    if not certified:
+        # exact fallback: full aggregation (one shuffle over distinct
+        # items); correctness never depends on the certificate
+        topk.unpersist()
+        counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_occ"))
+        topk = (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    return topk.withColumn("certified", F.lit(bool(certified)))
