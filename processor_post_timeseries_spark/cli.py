@@ -59,6 +59,17 @@ def main(argv: list[str] | None = None) -> int:
         "manifest under --out (chunk via --chunk-size samples)",
     )
     ap.add_argument("--chunk-size", type=int, default=131_072 // 8)
+    ap.add_argument(
+        "--retention",
+        action="store_true",
+        help="maintenance mode: --input is a tier=/day= partitioned dir "
+        "(plans/retention.py layout); drops partitions older than "
+        "--policy, appends the audit log",
+    )
+    ap.add_argument("--policy", help="retention policy, e.g. raw:7,1m:30 (days per tier)")
+    ap.add_argument("--now-day", type=int, default=None,
+                    help="reference day (default: newest day present)")
+    ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -74,6 +85,40 @@ def main(argv: list[str] | None = None) -> int:
     from processor_post_timeseries_spark.sources.synth import sequences
 
     spark = get_spark("pts-cli", master=args.master)
+
+    if args.retention:
+        from processor_post_timeseries_spark.plans.retention import (
+            RetentionPolicy,
+            apply_retention,
+            list_partitions,
+        )
+
+        if not args.input or not args.policy:
+            ap.error("--retention requires --input (tier dir) and --policy")
+        keep = {t: int(d) for t, d in (p.split(":") for p in args.policy.split(","))}
+        parts = list_partitions(spark, args.input)
+        now_day = args.now_day if args.now_day is not None else max(
+            (d for _t, d in parts), default=0
+        )
+        dec = apply_retention(
+            spark, args.input, RetentionPolicy(keep), now_day, dry_run=args.dry_run
+        )
+        dropped = sorted(
+            (r["tier"], int(r["day"])) for r in dec.filter(~F.col("kept")).collect()
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "retention",
+                    "now_day": int(now_day),
+                    "dry_run": bool(args.dry_run),
+                    "n_partitions": len(parts),
+                    "dropped": [f"tier={t}/day={d}" for t, d in dropped],
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     if args.legacy_export:
         from processor_post_timeseries_spark.plans.legacy_export import (

@@ -2231,3 +2231,48 @@ FROM d, t, m
 
 
 _REGISTRY["retention_policy"] = _q_retention_policy()
+
+
+def _q_decontaminate():
+    """Decontam+ — benchmark n-gram overlap (operators/decontam.py):
+    docs with doc_id % 50 == 0 play the benchmark set, the rest are the
+    corpus; 5-gram overlap, broadcast benchmark side. The oracle replays
+    the distinct-shingle sets and the hit join in SQL."""
+    N = 5
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.decontam import contamination_report
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        corpus = docs.filter(F.col("doc_id") % 50 != 0)
+        return contamination_report(corpus, bench, n=N)
+
+    return run, """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+  FROM words WHERE len(w) >= 5
+), bg AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+), cg AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id
+), hits AS (
+  SELECT cg.doc_id, COUNT(*) AS n_hits FROM cg JOIN bg USING (shingle) GROUP BY cg.doc_id
+)
+SELECT s.doc_id, s.n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / s.n_grams, 6) AS contamination_ratio,
+       (COALESCE(h.n_hits, 0) >= 1) AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+_REGISTRY["decontaminate"] = _q_decontaminate()
