@@ -1,0 +1,77 @@
+"""Streaming ingest quality gate — the micro-batch admission filter a
+continuously-fed training corpus runs BEFORE documents reach the lake:
+benchmark decontamination (``operators/decontam.py``) + quality scoring
+(``functions/text.py``) applied per micro-batch, with Spark's streaming
+checkpoint giving exactly-once admission.
+
+Why ``foreachBatch`` and not a streaming aggregation: the contamination
+join aggregates per doc_id, which as a bare streaming agg would pin
+unbounded doc state in the store. Each doc arrives WHOLE in one
+micro-batch (documents are rows, not multi-row groups), so per-batch
+batch-semantics are exact, state-free, and the benchmark gram set stays
+a broadcast — the same plan the batch gate runs, incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import quality_score
+from ..operators.decontam import contamination_report
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def gate_batch(
+    batch: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_quality: float = 0.0,
+) -> DataFrame:
+    """Pure (testable) gate: admit docs that are NOT contaminated and
+    score at least ``min_quality``. Docs too short to have n-grams are
+    admitted (nothing to test), mirroring the batch report's domain."""
+    rep = contamination_report(batch, benchmark, n=n)
+    flagged = rep.filter(F.col("contaminated")).select("doc_id")
+    return (
+        batch.join(flagged, "doc_id", "left_anti")
+        .withColumn("quality", quality_score(F.col("text")))
+        .filter(F.col("quality") >= min_quality)
+    )
+
+
+def run_ingest_gate_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_quality: float = 0.0,
+):
+    """readStream(documents parquet) -> per-batch gate -> append parquet,
+    trigger availableNow. Restarts resume from the checkpoint: already-
+    admitted files are never re-processed (exactly-once admission)."""
+    src = spark.readStream.schema(DOC_SCHEMA).parquet(in_dir)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        gate_batch(batch_df, benchmark, n=n, min_quality=min_quality).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,63 @@
+"""Streaming ingest gate: admission semantics + exactly-once restart."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from processor_post_timeseries_spark.streaming.ingest_gate import (
+    gate_batch,
+    run_ingest_gate_available_now,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from processor_post_timeseries_spark.session import get_spark
+
+    return get_spark("test-gate", master="local[4]")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_gate_batch_blocks_contaminated_admits_short(spark):
+    bench = _docs(spark, [(900, "q w e r t")])
+    batch = _docs(
+        spark,
+        [
+            (1, "a b c d e f g"),     # clean
+            (2, "x q w e r t y"),     # contains benchmark 5-gram -> blocked
+            (3, "hi"),                # too short for 5-grams -> admitted
+        ],
+    )
+    got = {r["doc_id"] for r in gate_batch(batch, bench, n=5).collect()}
+    assert got == {1, 3}
+
+
+def test_streaming_gate_exactly_once_across_restart(spark, tmp_path):
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    bench = _docs(spark, [(900, "q w e r t")])
+
+    _docs(spark, [(1, "a b c d e f"), (2, "x q w e r t y")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = run_ingest_gate_available_now(spark, in_dir, out_dir, ck, bench, n=5)
+    q.awaitTermination()
+    first = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in first.collect()} == {1}
+
+    # second wave lands; restart with the same checkpoint must process
+    # ONLY the new files (doc 1 admitted exactly once)
+    _docs(spark, [(3, "m n o p q r"), (4, "z q w e r t z")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = run_ingest_gate_available_now(spark, in_dir, out_dir, ck, bench, n=5)
+    q2.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    assert out.filter(F.col("doc_id") == 1).count() == 1
