@@ -46,6 +46,13 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "rollup_tier_parity",
     "codec_roundtrip",
+    # round-2 operators
+    "j3_asof_align",
+    "j4_interval_join",
+    "w7_resample_linear",
+    "dedup_components",
+    "agg_heavy_hitters",
+    "decontaminate",
 ]
 
 

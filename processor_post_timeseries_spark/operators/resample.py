@@ -59,15 +59,17 @@ def resample_linear(
     grid = (
         df.groupBy(by)
         .agg(F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx"))
+        .withColumn(
+            "_gs",
+            (F.floor((F.col("_mn") + step_us - 1) / step_us) * step).cast("long"),
+        )
+        # a key whose span straddles no grid multiple yields no grid
+        # points (Spark's sequence() raises on start > stop; DuckDB's
+        # generate_series returns empty — this filter pins the latter)
+        .filter(F.col("_gs") <= F.col("_mx"))
         .select(
             F.col(by),
-            F.explode(
-                F.sequence(
-                    (F.floor((F.col("_mn") + step_us - 1) / step_us) * step).cast("long"),
-                    F.col("_mx"),
-                    step,
-                )
-            ).alias("_ts"),
+            F.explode(F.sequence(F.col("_gs"), F.col("_mx"), step)).alias("_ts"),
             F.lit(None).cast("double").alias("_v"),
             F.lit(None).cast("long").alias("_tb"),
             F.lit(1).alias("_side"),

@@ -1,0 +1,71 @@
+"""Physical-plan audit across all contract queries: counts Exchange
+(shuffle) operators and flags plan anti-patterns (CartesianProduct,
+BroadcastNestedLoopJoin, row-at-a-time PythonUDF) in each query's
+formatted plan. The shuffle census is the number the 100 TB story
+stands on — run after optimizer-relevant changes and diff.
+
+Usage: python tools/plan_audit.py [sf_dir] [name_filter]
+Prints one JSON line per query + a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from processor_post_timeseries_spark.contract import _REGISTRY  # noqa: E402
+from processor_post_timeseries_spark.session import get_spark  # noqa: E402
+
+# Reviewed flags: anti-pattern operators whose small side is BOUNDED BY
+# CONSTRUCTION, so the pattern is safe at any corpus size. Anything
+# flagged that is NOT listed here fails the audit (exit 1).
+WAIVERS = {
+    "retention_policy": "crossJoin against the O(#tiers) literal dim (2 rows)",
+    "w2_gapfill_grid": "oracle-shaped grid query; production path is "
+    "operators/gapfill.py (narrow map, no join)",
+}
+
+
+def audit(df) -> dict:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return {
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "reused_exchanges": len(re.findall(r"\(\d+\) ReusedExchange", plan)),
+        "cartesian": "CartesianProduct" in plan,
+        "bnl_join": "BroadcastNestedLoopJoin" in plan,
+        "python_row_udf": "BatchEvalPython" in plan,  # non-Arrow Python UDF
+        "arrow_stages": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas", plan)),
+        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("plan-audit", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name, (fn, _sql) in sorted(_REGISTRY.items()):
+        if name_filter and name_filter not in name:
+            continue
+        try:
+            row = {"query": name, **audit(fn(spark, sf_dir))}
+        except Exception as e:  # noqa: BLE001
+            row = {"query": name, "error": str(e)[:200]}
+        flagged = row.get("cartesian") or row.get("bnl_join") or row.get("python_row_udf")
+        if flagged and name in WAIVERS:
+            row["waived"] = WAIVERS[name]
+        else:
+            bad += bool(flagged)
+        print(json.dumps(row))
+    print(json.dumps({"summary": "unwaived_flagged_queries", "count": bad}))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
