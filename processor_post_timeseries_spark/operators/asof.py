@@ -1,17 +1,20 @@
-"""As-of join — align each left-stream row to the most recent
-right-stream row (backward inexact match), the canonical timeseries
-alignment operator (reference's channel/sample alignment is positional:
-``/root/reference/processor/reader.py:233-244`` reads all channels at
-one chunk offset; as-of is the general form when clocks differ).
+"""As-of join — align each left-stream row to the nearest right-stream
+row (backward / forward / nearest inexact match), the canonical
+timeseries alignment operator (reference's channel/sample alignment is
+positional: ``/root/reference/processor/reader.py:233-244`` reads all
+channels at one chunk offset; as-of is the general form when clocks
+differ).
 
 Spark has no native ASOF JOIN; the naive theta-join
 (``l.ts >= r.ts`` + max-per-left) materializes O(|L|·|R|) rows per key.
 The scalable shape used here is the **union-marker single-window
-pass**: interleave both streams, sort once per key, and carry the last
-right-side attributes forward with ``last(..., ignorenulls=True)``.
-Cost = ONE shuffle of (|L|+|R|) rows on the join key — the same plan a
-sort-merge as-of would produce, expressed with existing operators so
-Catalyst/AQE still see a plain window.
+pass**: interleave both streams, sort once per key, and carry the
+bracketing right-side attributes with ``last``/``first`` over
+``IGNORE NULLS`` frames. Cost = ONE shuffle of (|L|+|R|) rows on the
+join key — the same plan a sort-merge as-of would produce, expressed
+with existing operators so Catalyst/AQE still see a plain window.
+(``nearest`` resolves both brackets: same single shuffle, two window
+sorts over it.)
 
 At 100 TB: the window partitions by ``by`` (e.g. channel/user), so
 parallelism = number of keys; skewed keys are bounded by the streams'
@@ -36,22 +39,26 @@ def asof_join(
     left_ts_alias: str = "ts_l",
     right_ts_alias: str = "ts_r",
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each ``left`` row, attach the latest
-    ``right`` row with the same ``by`` key and ``right.ts <= left.ts``.
+    """As-of join with pandas ``merge_asof`` semantics.
 
+    * ``direction='backward'`` (default): latest right row with
+      ``right.ts <= left.ts``; ``'forward'``: earliest right row with
+      ``right.ts >= left.ts``; ``'nearest'``: whichever bracket is
+      closer, backward winning exact-distance ties.
     * ``right_cols`` maps right column -> output alias.
-    * Equal timestamps match (``<=``): the marker sorts right rows
-      before left rows at identical ``ts``.
-    * Ties among right rows at one timestamp resolve to the row with
-      the greatest ``right_tiebreak`` value (pass a unique right
-      column, e.g. an event id, for fully deterministic output; without
-      it the tie order is partition-dependent).
-    * ``tolerance_us`` drops matches older than the tolerance
+    * Equal timestamps match in every direction.
+    * Ties among right rows at one timestamp resolve deterministically
+      by ``right_tiebreak`` (greatest wins backward, smallest wins
+      forward); without it the tie order is partition-dependent.
+    * ``tolerance_us`` drops matches farther than the tolerance
       (left rows keep a NULL match, as pandas ``merge_asof`` does).
 
     Returns all left columns + aliased right columns + ``right_ts_alias``.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1)).withColumn(
         "_rtag", F.lit(None).cast("long")
@@ -76,22 +83,64 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = l.select(r.columns).unionByName(r.select(r.columns))
 
-    # _side=0 (right) sorts before _side=1 (left) at equal ts => "<=".
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rtag").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [F.last(dst, ignorenulls=True).over(w).alias(dst) for dst in right_cols.values()]
-    u = u.select(
-        *[c for c in u.columns if c not in set(right_cols.values())],
-        *carried,
-    ).withColumn(right_ts_alias, F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(w))
+    dsts = list(right_cols.values())
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    if need_b:
+        # right (_side=0) sorts before left at equal ts => "<=" matches;
+        # last() then favors the greatest tiebreak among equal-ts rights
+        wb = (
+            Window.partitionBy(by)
+            .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rtag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for dst in dsts:
+            u = u.withColumn(f"_b_{dst}", F.last(dst, ignorenulls=True).over(wb))
+        u = u.withColumn(
+            "_b_ts",
+            F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(wb),
+        )
+    if need_f:
+        # left sorts before equal-ts rights here, so the following frame
+        # still sees them => ">=" matches; first() favors the smallest
+        # tiebreak among equal-ts rights
+        wf = (
+            Window.partitionBy(by)
+            .orderBy(F.col(ts).asc(), F.col("_side").desc(), F.col("_rtag").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for dst in dsts:
+            u = u.withColumn(f"_f_{dst}", F.first(dst, ignorenulls=True).over(wf))
+        u = u.withColumn(
+            "_f_ts",
+            F.first(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(wf),
+        )
 
-    out = u.filter(F.col("_side") == 1).withColumnRenamed(ts, left_ts_alias)
+    out = u.filter(F.col("_side") == 1)
+    if direction == "backward":
+        picked = {dst: F.col(f"_b_{dst}") for dst in dsts}
+        rts = F.col("_b_ts")
+    elif direction == "forward":
+        picked = {dst: F.col(f"_f_{dst}") for dst in dsts}
+        rts = F.col("_f_ts")
+    else:
+        lag_b = F.col(ts) - F.col("_b_ts")
+        lag_f = F.col("_f_ts") - F.col(ts)
+        use_b = F.col("_f_ts").isNull() | (F.col("_b_ts").isNotNull() & (lag_b <= lag_f))
+        picked = {
+            dst: F.when(use_b, F.col(f"_b_{dst}")).otherwise(F.col(f"_f_{dst}"))
+            for dst in dsts
+        }
+        rts = F.when(use_b, F.col("_b_ts")).otherwise(F.col("_f_ts"))
+    for dst in dsts:
+        out = out.withColumn(dst, picked[dst])
+    out = out.withColumn(right_ts_alias, rts).withColumnRenamed(ts, left_ts_alias)
+
     if tolerance_us is not None:
-        stale = F.col(left_ts_alias) - F.col(right_ts_alias) > F.lit(tolerance_us)
-        for dst in list(right_cols.values()) + [right_ts_alias]:
-            out = out.withColumn(dst, F.when(stale, F.lit(None)).otherwise(F.col(dst)))
-    keep = [c for c in lcols if c != ts] + [left_ts_alias, *right_cols.values(), right_ts_alias]
+        lag = F.abs(F.col(left_ts_alias) - F.col(right_ts_alias))
+        for dst in [*dsts, right_ts_alias]:
+            out = out.withColumn(
+                dst, F.when(lag > tolerance_us, F.lit(None)).otherwise(F.col(dst))
+            )
+    keep = [c for c in lcols if c != ts] + [left_ts_alias, *dsts, right_ts_alias]
     return out.select(*keep)

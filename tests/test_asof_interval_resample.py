@@ -117,3 +117,54 @@ class TestResampleLinear:
         df = spark.createDataFrame([(1, 20, 3.5, 1)], "k int, ts long, v double, i int")
         out = resample_linear(df, by="k", ts_col="ts", val_col="v", step_us=10, tiebreak="i")
         assert _rows(out, "grid_ts_us", "v") == [(20, 3.5)]
+
+
+class TestAsofDirections:
+    def test_forward_and_equal_ts(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, 1), (1, 160, 2), (1, 200, 3)], "k int, ts long, lid int"
+        )
+        right = spark.createDataFrame(
+            [(1, 100, 7.0, 1), (1, 150, 8.0, 2)], "k int, ts long, v double, rid int"
+        )
+        out = asof_join(left, right, by="k", ts="ts", right_cols={"v": "rv"},
+                        right_tiebreak="rid", direction="forward")
+        got = {r["lid"]: (r["rv"], r["ts_r"]) for r in out.collect()}
+        # 100 matches the equal-ts right (>=); 160 has no later right;
+        # 200 likewise
+        assert got == {1: (7.0, 100), 2: (None, None), 3: (None, None)}
+
+    def test_forward_tie_takes_min_tiebreak(self, spark):
+        left = spark.createDataFrame([(1, 10, 1)], "k int, ts long, lid int")
+        right = spark.createDataFrame(
+            [(1, 10, 1.0, 9), (1, 10, 2.0, 5)], "k int, ts long, v double, rid int"
+        )
+        out = asof_join(left, right, by="k", ts="ts", right_cols={"v": "rv"},
+                        right_tiebreak="rid", direction="forward")
+        assert _rows(out, "rv") == [(2.0,)]  # rid=5 wins forward
+
+    def test_nearest_picks_closer_and_backward_on_tie(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, 1), (1, 100, 2), (1, 149, 3)], "k int, ts long, lid int"
+        )
+        right = spark.createDataFrame(
+            [(1, 50, 1.0, 1), (1, 150, 2.0, 2)], "k int, ts long, v double, rid int"
+        )
+        out = asof_join(left, right, by="k", ts="ts", right_cols={"v": "rv"},
+                        right_tiebreak="rid", direction="nearest")
+        got = {r["lid"]: r["rv"] for r in out.collect()}
+        # 10 -> 50 (only forward); 100 equidistant -> backward (50);
+        # 149 -> 150
+        assert got == {1: 1.0, 2: 1.0, 3: 2.0}
+
+    def test_nearest_tolerance(self, spark):
+        left = spark.createDataFrame([(1, 100, 1)], "k int, ts long, lid int")
+        right = spark.createDataFrame([(1, 220, 3.0, 1)], "k int, ts long, v double, rid int")
+        out = asof_join(left, right, by="k", ts="ts", right_cols={"v": "rv"},
+                        right_tiebreak="rid", direction="nearest", tolerance_us=100)
+        assert _rows(out, "rv", "ts_r") == [(None, None)]
+
+    def test_bad_direction_raises(self, spark):
+        left = spark.createDataFrame([(1, 1, 1)], "k int, ts long, lid int")
+        with pytest.raises(ValueError):
+            asof_join(left, left, by="k", ts="ts", right_cols={}, direction="sideways")

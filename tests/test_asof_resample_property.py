@@ -26,8 +26,13 @@ ts_lists = st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_si
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(lts=ts_lists, rts=ts_lists, tol=st.one_of(st.none(), st.integers(1, 500)))
-def test_asof_matches_pandas_merge_asof(spark, lts, rts, tol):
+@given(
+    lts=ts_lists,
+    rts=ts_lists,
+    tol=st.one_of(st.none(), st.integers(1, 500)),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_matches_pandas_merge_asof(spark, lts, rts, tol, direction):
     # unique per-side timestamps (merge_asof's tie rule for duplicate
     # right keys is positional, ours is by tiebreak column — dedupe to
     # compare the shared semantics; our tie rule has its own unit test)
@@ -40,13 +45,13 @@ def test_asof_matches_pandas_merge_asof(spark, lts, rts, tol):
         r["ts_l"]: r["rv"]
         for r in asof_join(
             left, right, by="k", ts="ts", right_cols={"v": "rv"},
-            tolerance_us=tol, right_tiebreak="rid",
+            tolerance_us=tol, right_tiebreak="rid", direction=direction,
         ).collect()
     }
     lp = pd.DataFrame({"ts": pd.Series(lts, dtype="int64")})
     rp = pd.DataFrame({"ts": pd.Series(rts, dtype="int64"), "v": [t * 0.5 for t in rts]})
     kw = {"tolerance": tol} if tol is not None else {}
-    exp = pd.merge_asof(lp, rp, on="ts", direction="backward", **kw)
+    exp = pd.merge_asof(lp, rp, on="ts", direction=direction, **kw)
     for ts, v in zip(exp["ts"], exp["v"]):
         g = got[int(ts)]
         assert (g is None and pd.isna(v)) or (g == v), (ts, g, v)
