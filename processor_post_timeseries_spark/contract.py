@@ -2276,3 +2276,33 @@ FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
 
 
 _REGISTRY["decontaminate"] = _q_decontaminate()
+
+
+# W9+ — min/max downsampling (the M4 rendering reduction: per time
+# bucket keep the extreme points, deterministic tie-break by ts then
+# event id). One shared SQL text runs on both engines.
+_W9_MINMAX = """
+WITH e AS (
+  SELECT user_id, event_id, value, {EPOCH_US}(ts) AS ts_us,
+         {EPOCH_US}(ts) {IDIV} 21600000000 AS bucket
+  FROM events
+), rmin AS (
+  SELECT user_id, bucket, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                            ORDER BY value, ts_us, event_id) AS rn
+  FROM e
+), rmax AS (
+  SELECT user_id, bucket, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                            ORDER BY value DESC, ts_us, event_id) AS rn
+  FROM e
+)
+SELECT a.user_id, a.bucket,
+       a.event_id AS min_event_id, a.value AS min_v,
+       b.event_id AS max_event_id, b.value AS max_v
+FROM rmin a JOIN rmax b
+  ON a.user_id = b.user_id AND a.bucket = b.bucket
+WHERE a.rn = 1 AND b.rn = 1
+"""
+
+_REGISTRY["w9_minmax_downsample"] = _shared(_W9_MINMAX)
