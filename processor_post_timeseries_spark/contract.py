@@ -2306,3 +2306,60 @@ WHERE a.rn = 1 AND b.rn = 1
 """
 
 _REGISTRY["w9_minmax_downsample"] = _shared(_W9_MINMAX)
+
+
+def _q_w10_incremental_append():
+    """W10+ — incremental tier maintenance (operators/incremental.py):
+    ingest the first half of every doc's token stream, then APPEND the
+    second half through append_tokens_to_tiers (boundary-window merge of
+    the stored partial aggregates). The oracle computes the one-shot
+    windows over the FULL stream — end-state equality certifies that the
+    merge is lossless, including the phase-misaligned boundary window."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.incremental import append_tokens_to_tiers
+        from .operators.rollup import tier1_from_tokens, tier_points
+
+        seq = _char_tokens_df(spark, sf_dir)
+        first = seq.select(
+            "doc_id",
+            F.expr("slice(tokens, 1, n_tok div 2)").alias("tokens"),
+            (F.expr("n_tok div 2")).cast("int").alias("n_tok"),
+            "source",
+        )
+        delta = seq.select(
+            "doc_id",
+            F.expr("slice(tokens, n_tok div 2 + 1, n_tok - n_tok div 2)").alias("tokens"),
+            "source",
+            F.expr("n_tok div 2").cast("long").alias("offset"),
+        )
+        existing = tier1_from_tokens(first, window=16)
+        merged = append_tokens_to_tiers(existing, delta, window=16)
+        return tier_points(merged).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "win_no",
+            "min_v",
+            "max_v",
+            "sum_v",
+            "cnt",
+            "mean_v",
+        )
+
+    return run, """
+WITH chars AS (
+  SELECT doc_id, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i <= length(text)
+)
+SELECT doc_id,
+       CAST((i - 1) // 16 AS INTEGER) AS win_no,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(*) AS cnt,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_v
+FROM chars GROUP BY doc_id, (i - 1) // 16
+"""
+
+
+_REGISTRY["w10_incremental_append"] = _q_w10_incremental_append()
