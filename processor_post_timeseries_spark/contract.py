@@ -2363,3 +2363,55 @@ FROM chars GROUP BY doc_id, (i - 1) // 16
 
 
 _REGISTRY["w10_incremental_append"] = _q_w10_incremental_append()
+
+
+def _q_text_pii_scrub():
+    """Text+ — PII redaction (functions/text.py scrub_pii / pii_hits).
+    The synthetic corpus has no organic PII, so each doc gets a
+    deterministic doc_id-derived email, phone and IP appended BEFORE
+    scrubbing — the oracle injects identically and replays the same
+    portable regex chain (DuckDB needs the explicit 'g' flag; Spark is
+    global by default). Output is the scrubbed-text md5 + span count."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.text import pii_hits, scrub_pii
+
+        load_views(spark, sf_dir)
+        t = F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        )
+        return spark.table("documents").select(
+            "doc_id",
+            F.md5(scrub_pii(t)).alias("scrub_md5"),
+            pii_hits(t).cast("long").alias("n_pii"),
+        )
+
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    phone = "[+]?1?[-. ]?[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}"
+    ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    return run, f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example.com or 555-123-4567 at 10.0.0.' || (doc_id % 255) AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{email}', '<EMAIL>', 'g'),
+             '{phone}', '<PHONE>', 'g'),
+             '{ip}', '<IP>', 'g')) AS scrub_md5,
+       CAST(len(regexp_extract_all(t, '{email}'))
+          + len(regexp_extract_all(t, '{phone}'))
+          + len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_pii
+FROM t
+"""
+
+
+_REGISTRY["text_pii_scrub"] = _q_text_pii_scrub()

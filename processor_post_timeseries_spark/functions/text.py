@@ -226,3 +226,36 @@ def ngram_freq_topk(
         .filter(F.col("rank") <= k)
         .select(by, "gram", "n_occ", "rank")
     )
+
+
+# PII scrubbing — the redaction pass a training corpus runs before
+# anything ships. Patterns written with portable character classes
+# (no backslash shorthands; single-quote escaping differs between
+# engines — same rule as contract.py's determinism policy).
+PII_PATTERNS = (
+    # order matters: emails before bare domains/phones
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    # NANP-ish phone: optional +1 / 1, separators space - .
+    ("[+]?1?[-. ]?[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, phone numbers and IPv4 literals with typed
+    placeholder tags. Pure JVM regexp_replace chain — pushes through
+    codegen like every other text op; patterns are anchored to avoid
+    over-matching (phones require separators, so token ids and plain
+    number runs survive)."""
+    out = text
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_hits(text: Column) -> Column:
+    """Count of PII spans that scrub_pii would redact."""
+    total = F.lit(0)
+    for pat, _tag in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+    return total

@@ -98,3 +98,29 @@ class TestCliRetention:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["dry_run"] is True and len(rep["dropped"]) == 2
         assert len(list_partitions(spark, path)) == 3
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self, spark):
+        from processor_post_timeseries_spark.functions.text import pii_hits, scrub_pii
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@sub.example.org now"),
+                (2, "call 1-555-123-4567 or (555) 987 6543"),
+                (3, "server at 192.168.1.7 went down"),
+                (4, "clean text with numbers 12345 and words"),
+            ],
+            "id long, t string",
+        )
+        out = {
+            r["id"]: (r["s"], r["n"])
+            for r in df.select(
+                "id", scrub_pii(F.col("t")).alias("s"), pii_hits(F.col("t")).alias("n")
+            ).collect()
+        }
+        assert out[1] == ("mail me at <EMAIL> now", 1)
+        assert out[2][0].count("<PHONE>") == 2 and out[2][1] == 2
+        assert out[3] == ("server at <IP> went down", 1)
+        assert out[4] == ("clean text with numbers 12345 and words", 0)
