@@ -388,20 +388,21 @@ def duplicate_components(
     clusters: (doc_id, comp_id, comp_size) for every doc appearing in a
     pair, comp_id = min doc_id reachable (the canonical keeper).
 
-    Algorithm: hash-min label propagation — each round every node takes
-    the min label over itself and its neighbors; converges in
-    O(diameter) rounds. Duplicate graphs are unions of near-cliques
-    (LSH bands link all members of a cluster directly), so diameter is
-    tiny and this beats the asymptotically-stronger star-contraction
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") on
-    constant factors: per round = one shuffle of edges + one of labels.
+    Algorithm: hash-min label propagation WITH pointer doubling — each
+    round every node takes the min label over itself and its neighbors
+    (one edge shuffle), then shortcuts through its label's own label
+    (``lbl(u) <- lbl(lbl(u))``, one self-join). The shortcut halves
+    remaining path lengths, so convergence is O(log diameter) rounds
+    (the hash-to-min idea of Rastogi et al. / the two-phase contraction
+    of Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    not O(diameter) — a 200-link LSH chain resolves in ~8 rounds.
 
     Scale notes: labels are ``localCheckpoint``ed each round (truncates
     the exponentially-growing iterative plan); convergence is an exact
     changed-label count, so the loop stops the first round nothing
-    moves. ``max_iters`` bounds pathological chains; if the bound is
+    moves. ``max_iters`` bounds pathological graphs; if the bound is
     hit, the labels are still a valid refinement (over-segmented, never
-    wrong-merged) and a warning is raised via an assertion-free return.
+    wrong-merged).
     """
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -417,14 +418,27 @@ def duplicate_components(
         )
         stepped = labels.join(nbr_min, "u", "left").select(
             "u",
-            F.col("lbl"),
+            F.col("lbl").alias("old"),
             F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                "new_lbl"
+                "lbl1"
             ),
         )
-        stepped = stepped.localCheckpoint()
-        changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
-        labels = stepped.select("u", F.col("new_lbl").alias("lbl"))
+        # pointer doubling: follow the new label one more hop through the
+        # same table — labels are node ids, so the lookup always resolves
+        lookup = stepped.select(F.col("u").alias("w"), F.col("lbl1").alias("lw"))
+        shortcut = (
+            stepped.join(lookup, stepped["lbl1"] == lookup["w"], "left")
+            .select(
+                "u",
+                "old",
+                F.least(F.col("lbl1"), F.coalesce(F.col("lw"), F.col("lbl1"))).alias(
+                    "new_lbl"
+                ),
+            )
+        )
+        shortcut = shortcut.localCheckpoint()
+        changed = shortcut.filter(F.col("new_lbl") < F.col("old")).count()
+        labels = shortcut.select("u", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     edges.unpersist()

@@ -90,3 +90,39 @@ class TestNgramTopk:
         out = {(r["gram"]): (r["n_occ"], r["rank"]) for r in ngram_freq_topk(df, n=2, k=10).collect()}
         # "a b" occurs 2x in doc1 + 1x in doc2 = 3; "b a" 2x; "x" has no bigram
         assert out == {"a b": (3, 1), "b a": (2, 2)}
+
+    def test_long_chain_converges_via_pointer_doubling(self, spark):
+        # a 200-link chain has diameter 200: plain hash-min needs ~200
+        # rounds, pointer doubling needs ~log2(200)+slack. max_iters=12
+        # only succeeds if the shortcut actually works.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+        )
+        out = duplicate_components(pairs, max_iters=12).collect()
+        assert len(out) == 201
+        assert all(r["comp_id"] == 0 and r["comp_size"] == 201 for r in out)
+
+    def test_exact_vs_union_find_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["comp_id"] for r in duplicate_components(pairs).collect()}
+
+        # reference: plain union-find with min-relabel
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for x, y in edges:
+            parent.setdefault(x, x); parent.setdefault(y, y)
+            parent[find(x)] = find(y)
+        comps = {}
+        for n in parent:
+            comps.setdefault(find(n), []).append(n)
+        expected = {n: min(members) for members in comps.values() for n in members}
+        assert got == expected
