@@ -40,7 +40,10 @@ def parse_tiers(spec: str) -> tuple[tuple[str, int], ...]:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pts-spark")
-    src = ap.add_mutually_exclusive_group(required=True)
+    # not required at the argparse level: maintenance modes
+    # (--retention needs only --input, --backfill only --out);
+    # the pipeline path validates below
+    src = ap.add_mutually_exclusive_group()
     src.add_argument("--input", help="sequences table path (parquet/iceberg locator)")
     src.add_argument("--synth-docs", type=int, help="synthesize N docs instead")
     ap.add_argument("--out", required=True)
@@ -70,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--now-day", type=int, default=None,
                     help="reference day (default: newest day present)")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--backfill",
+        help="maintenance mode: invalidate a work unit (SOURCE:BUCKET) in "
+        "the checkpoint at --out so the next resumed run recomputes it",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -85,6 +93,26 @@ def main(argv: list[str] | None = None) -> int:
     from processor_post_timeseries_spark.sources.synth import sequences
 
     spark = get_spark("pts-cli", master=args.master)
+
+    if args.backfill:
+        from processor_post_timeseries_spark.plans.backfill import invalidate_where
+
+        source, _, bucket = args.backfill.rpartition(":")
+        if not source:
+            ap.error("--backfill expects SOURCE:BUCKET")
+        removed = invalidate_where(spark, args.out, source, int(bucket))
+        print(
+            json.dumps(
+                {
+                    "mode": "backfill",
+                    "unit": f"{source}/{bucket}",
+                    "invalidated_rows": int(removed),
+                    "next": "re-run the pipeline with resume (default) to recompute",
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     if args.retention:
         from processor_post_timeseries_spark.plans.retention import (
@@ -145,6 +173,8 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
+    if not args.input and not args.synth_docs:
+        ap.error("pipeline mode requires --input or --synth-docs")
     seq = (
         sequences(spark, args.synth_docs, seed=42)
         if args.synth_docs

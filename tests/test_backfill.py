@@ -79,3 +79,20 @@ def test_invalidate_missing_unit_is_noop(spark, tmp_path):
     n = lineage.read_checkpoint(spark, out).count()
     assert invalidate_where(spark, out, "no-such-source", 99) == 0
     assert lineage.read_checkpoint(spark, out).count() == n
+
+
+def test_cli_backfill_mode(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    from processor_post_timeseries_spark.cli import main
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    seq = sequences(spark, 15, seed=14, min_tok=5, max_tok=60, vocab=100)
+    out = str(tmp_path / "o4")
+    run_pipeline(spark, seq, _cfg(out, "run-z"))
+    unit = lineage.completed_keys(spark, out, "blocks").first()["partition_key"]
+    src, bkt = unit.rsplit("/", 1)
+    rc = main(["--out", out, "--backfill", f"{src}:{bkt}"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "backfill" and rep["invalidated_rows"] == 3
