@@ -2415,3 +2415,56 @@ FROM t
 
 
 _REGISTRY["text_pii_scrub"] = _q_text_pii_scrub()
+
+
+# --------------------------------------------------------------------------
+# §2.8 surface-completeness batch: analytic rank functions, date-part
+# extraction (with the DOW dialect pinned), full outer join. Shared SQL
+# templates — one text, both engines.
+# --------------------------------------------------------------------------
+
+_W11_RANKS = """
+WITH e AS (
+  SELECT user_id, event_id, value, {EPOCH_US}(ts) AS ts_us FROM events
+)
+SELECT user_id, event_id,
+       NTILE(4) OVER w AS quartile,
+       CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cume,
+       DENSE_RANK() OVER (PARTITION BY user_id
+                          ORDER BY CAST(FLOOR(value) AS INT)) AS dense_val_rank
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+_P17_DATE_PARTS = """
+SELECT event_id,
+       CAST(EXTRACT(YEAR FROM ts) AS INTEGER) AS y,
+       CAST(EXTRACT(MONTH FROM ts) AS INTEGER) AS m,
+       CAST(EXTRACT(DAY FROM ts) AS INTEGER) AS d,
+       CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS h,
+       CAST({DOW} AS INTEGER) AS dow_sun0,
+       CAST(EXTRACT(QUARTER FROM ts) AS INTEGER) AS q
+FROM events
+"""
+
+_J5_FULL_OUTER = """
+WITH buyers AS (
+  SELECT user_id, COUNT(*) AS n_buy FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), err AS (
+  SELECT user_id, COUNT(*) AS n_err FROM events
+  WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT COALESCE(b.user_id, e.user_id) AS user_id,
+       COALESCE(b.n_buy, 0) AS n_buy,
+       COALESCE(e.n_err, 0) AS n_err
+FROM buyers b FULL OUTER JOIN err e ON b.user_id = e.user_id
+"""
+
+_SPARK_DIALECT["{DOW}"] = "(extract(DAYOFWEEK FROM ts) - 1)"  # 1-7 Sun-start -> 0-6
+_DUCK_DIALECT["{DOW}"] = "extract(dow FROM ts)"               # already 0-6 Sun-start
+
+_REGISTRY["w11_rank_functions"] = _shared(_W11_RANKS)
+_REGISTRY["p17_date_parts"] = _shared(_P17_DATE_PARTS)
+_REGISTRY["j5_full_outer"] = _shared(_J5_FULL_OUTER)
