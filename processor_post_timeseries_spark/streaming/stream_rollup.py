@@ -150,3 +150,37 @@ def stream_rate_validate(
         # validate -> flag
         F.when(err.isNull(), F.lit(False)).otherwise(~(err > F.lit(tolerance))),
     )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming W8: sliding (hopping) windows with a late-data
+    watermark — the overlap semantics the batch ``w8_sliding_windows``
+    query certifies, maintained incrementally. Append mode emits a
+    window only once the watermark passes its end, so sink rows are
+    FINAL (exactly the property a tier sink needs: no in-place updates).
+    Batch callers get the exact full result."""
+    win = F.window(F.col(ts_col), width, slide)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("win_end_us"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )

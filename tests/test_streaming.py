@@ -140,3 +140,49 @@ def test_stream_rate_validate_partial_window_no_false_positive(spark):
     got = {r["user_id"]: r for r in stream_rate_validate(ev, declared, window="1 minute").collect()}
     assert got[7]["rate_valid"] and abs(got[7]["observed_rate_hz"] - 1.0) < 1e-9
     assert got[8]["observed_rate_hz"] is None and not got[8]["rate_valid"]
+
+
+def test_stream_sliding_counts_finalized_windows_match_batch(spark, tmp_path):
+    """Append-mode sliding windows: every emitted (finalized) row must
+    equal the batch-computed truth, and the watermark must have
+    finalized a healthy prefix of windows."""
+    import os
+
+    from processor_post_timeseries_spark.streaming.stream_rollup import (
+        stream_sliding_counts,
+    )
+
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.write.parquet(in_dir)
+
+    src = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        stream_sliding_counts(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["win_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["n_events"] is not None
+    }
+    truth = {
+        (r["win_start_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream_sliding_counts(ev).collect()
+    }
+    assert got, "watermark finalized no windows"
+    for k, v in got.items():
+        assert truth[k] == v, k
+    # at least every window ending >1 watermark before max ts is final
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    expected_final = {k for k in truth if k[0] + 7_200_000_000 < max_us - 3_600_000_000}
+    assert expected_final <= set(got)
