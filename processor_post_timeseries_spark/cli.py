@@ -98,8 +98,8 @@ def main(argv: list[str] | None = None) -> int:
         from processor_post_timeseries_spark.plans.backfill import invalidate_where
 
         source, _, bucket = args.backfill.rpartition(":")
-        if not source:
-            ap.error("--backfill expects SOURCE:BUCKET")
+        if not source or not bucket.isdigit():
+            ap.error("--backfill expects SOURCE:BUCKET (bucket is an integer)")
         removed = invalidate_where(spark, args.out, source, int(bucket))
         print(
             json.dumps(

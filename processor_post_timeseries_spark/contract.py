@@ -2401,16 +2401,19 @@ WITH t AS (
          text || ' contact user' || doc_id ||
          '@mail.example.com or 555-123-4567 at 10.0.0.' || (doc_id % 255) AS t
   FROM documents
+), s1 AS (
+  SELECT doc_id, t, regexp_replace(t, '{email}', '<EMAIL>', 'g') AS t1 FROM t
+), s2 AS (
+  SELECT doc_id, t, t1, regexp_replace(t1, '{phone}', '<PHONE>', 'g') AS t2 FROM s1
 )
 SELECT doc_id,
-       md5(regexp_replace(regexp_replace(regexp_replace(t,
-             '{email}', '<EMAIL>', 'g'),
-             '{phone}', '<PHONE>', 'g'),
-             '{ip}', '<IP>', 'g')) AS scrub_md5,
+       md5(regexp_replace(t2, '{ip}', '<IP>', 'g')) AS scrub_md5,
+       -- sequential counting, matching scrub_pii's actual substitutions:
+       -- each pattern counts against the PREVIOUS pattern's output
        CAST(len(regexp_extract_all(t, '{email}'))
-          + len(regexp_extract_all(t, '{phone}'))
-          + len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_pii
-FROM t
+          + len(regexp_extract_all(t1, '{phone}'))
+          + len(regexp_extract_all(t2, '{ip}')) AS BIGINT) AS n_pii
+FROM s2
 """
 
 

@@ -186,6 +186,21 @@ def winnow_fingerprints(
     return packed
 
 
+def word_ngram_array(text: Column, n: int) -> Column:
+    """Sliding word n-gram array (JVM array exprs, codegen'd): the ONE
+    definition of gram construction — dedup shingling and frequency
+    stats both build on it, so tokenization fixes land everywhere."""
+    words = F.split(text, " ")
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_freq_topk(
     docs: DataFrame,
     n: int = 2,
@@ -204,17 +219,7 @@ def ngram_freq_topk(
     window input is |distinct grams|, not |occurrences|."""
     from pyspark.sql.window import Window
 
-    words = F.split(F.col(text_col), " ")
-    cnt = F.size(words) - (n - 1)
-    grams = F.when(
-        cnt > 0,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngram_array(F.col(text_col), n)
     freq = (
         docs.select(F.col(by), F.explode(grams).alias("gram"))
         .groupBy(by, "gram")
@@ -254,8 +259,14 @@ def scrub_pii(text: Column) -> Column:
 
 
 def pii_hits(text: Column) -> Column:
-    """Count of PII spans that scrub_pii would redact."""
+    """Count of PII spans that scrub_pii actually redacts: each pattern
+    counts against the text AFTER earlier patterns were replaced, so PII
+    nested inside an earlier match (a phone inside an email local-part)
+    is not double-counted — the count always equals the number of
+    substitutions scrub_pii performs."""
     total = F.lit(0)
-    for pat, _tag in PII_PATTERNS:
-        total = total + F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+    cur = text
+    for pat, tag in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, tag)
     return total

@@ -60,14 +60,21 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     lcols = left.columns
+    rtag_type = (
+        right.schema[right_tiebreak].dataType.simpleString()
+        if right_tiebreak is not None
+        else "long"
+    )
     l = left.withColumn("_side", F.lit(1)).withColumn(
-        "_rtag", F.lit(None).cast("long")
+        "_rtag", F.lit(None).cast(rtag_type)
     )
     for src, dst in right_cols.items():
         l = l.withColumn(dst, F.lit(None).cast(right.schema[src].dataType))
-    # right rows contribute only key, ts and the carried columns
+    # right rows contribute only key, ts and the carried columns; the
+    # tiebreak keeps its own (orderable) type — casting it would turn
+    # e.g. string ids into NULLs and silently lose determinism
     rtag = (
-        F.col(right_tiebreak).cast("long")
+        F.col(right_tiebreak)
         if right_tiebreak is not None
         else F.monotonically_increasing_id()
     )
@@ -84,6 +91,15 @@ def asof_join(
     u = l.select(r.columns).unionByName(r.select(r.columns))
 
     dsts = list(right_cols.values())
+    # The whole right row is carried as ONE struct (non-null for every
+    # right row even when its fields are NULL), so all carried attributes
+    # come from the SAME matched row — per-column ignorenulls carries
+    # would skip a legitimately-NULL field and pair it with a stale value
+    # from an older row (attribute tearing).
+    right_row = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col(ts).alias("_rts"), *[F.col(d).alias(d) for d in dsts]),
+    )
     need_b = direction in ("backward", "nearest")
     need_f = direction in ("forward", "nearest")
     if need_b:
@@ -94,12 +110,7 @@ def asof_join(
             .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rtag").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        for dst in dsts:
-            u = u.withColumn(f"_b_{dst}", F.last(dst, ignorenulls=True).over(wb))
-        u = u.withColumn(
-            "_b_ts",
-            F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(wb),
-        )
+        u = u.withColumn("_b", F.last(right_row, ignorenulls=True).over(wb))
     if need_f:
         # left sorts before equal-ts rights here, so the following frame
         # still sees them => ">=" matches; first() favors the smallest
@@ -109,29 +120,26 @@ def asof_join(
             .orderBy(F.col(ts).asc(), F.col("_side").desc(), F.col("_rtag").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        for dst in dsts:
-            u = u.withColumn(f"_f_{dst}", F.first(dst, ignorenulls=True).over(wf))
-        u = u.withColumn(
-            "_f_ts",
-            F.first(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(wf),
-        )
+        u = u.withColumn("_f", F.first(right_row, ignorenulls=True).over(wf))
 
     out = u.filter(F.col("_side") == 1)
     if direction == "backward":
-        picked = {dst: F.col(f"_b_{dst}") for dst in dsts}
-        rts = F.col("_b_ts")
+        picked = {dst: F.col(f"_b.{dst}") for dst in dsts}
+        rts = F.col("_b._rts")
     elif direction == "forward":
-        picked = {dst: F.col(f"_f_{dst}") for dst in dsts}
-        rts = F.col("_f_ts")
+        picked = {dst: F.col(f"_f.{dst}") for dst in dsts}
+        rts = F.col("_f._rts")
     else:
-        lag_b = F.col(ts) - F.col("_b_ts")
-        lag_f = F.col("_f_ts") - F.col(ts)
-        use_b = F.col("_f_ts").isNull() | (F.col("_b_ts").isNotNull() & (lag_b <= lag_f))
+        lag_b = F.col(ts) - F.col("_b._rts")
+        lag_f = F.col("_f._rts") - F.col(ts)
+        use_b = F.col("_f._rts").isNull() | (
+            F.col("_b._rts").isNotNull() & (lag_b <= lag_f)
+        )
         picked = {
-            dst: F.when(use_b, F.col(f"_b_{dst}")).otherwise(F.col(f"_f_{dst}"))
+            dst: F.when(use_b, F.col(f"_b.{dst}")).otherwise(F.col(f"_f.{dst}"))
             for dst in dsts
         }
-        rts = F.when(use_b, F.col("_b_ts")).otherwise(F.col("_f_ts"))
+        rts = F.when(use_b, F.col("_b._rts")).otherwise(F.col("_f._rts"))
     for dst in dsts:
         out = out.withColumn(dst, picked[dst])
     out = out.withColumn(right_ts_alias, rts).withColumnRenamed(ts, left_ts_alias)

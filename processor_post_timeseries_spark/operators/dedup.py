@@ -51,17 +51,9 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     Built with array expressions (JVM-side, codegen'd): sliding n-gram =
     transform over a 1-based index sequence joining n consecutive words.
     """
-    words = F.split(F.col(text_col), " ")
-    k = F.size(words) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array())
+    from ..functions.text import word_ngram_array
+
+    grams = word_ngram_array(F.col(text_col), n)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
     )

@@ -7,11 +7,12 @@ Two-pass design (Misra-Gries '82, merged per Agarwal et al.,
 1. **Candidate pass** — every partition folds its Arrow batches into a
    capacity-``m`` Misra-Gries summary (batch-vectorized: per-batch
    ``value_counts`` merged into a vocab-sized counter table, then one
-   decrement step — no per-row Python). MG guarantees any item with
-   global frequency > N/(m+1) survives in at least one partition's
+   decrement step — no per-row Python) and also emits its exact item
+   total, so N needs no separate corpus scan. MG guarantees any item
+   with global frequency > N/(m+1) survives in at least one partition's
    summary (pigeonhole over partition totals), so the union of
    candidates provably contains every such item. Shuffle cost: at most
-   ``m`` items per partition — corpus-size-independent.
+   ``m`` items + one counter row per partition — corpus-size-independent.
 2. **Recount pass** — exact counts for the candidate set only, via a
    broadcast semi-join + one aggregation over candidate rows.
 
@@ -32,15 +33,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_OUT_SCHEMA = "item string, n_occ long, rank int, certified boolean"
 
-def _mg_candidates(df: DataFrame, item_col: str, capacity: int) -> DataFrame:
-    """Per-partition Misra-Gries summaries, unioned and deduped."""
+
+def _mg_summaries(df: DataFrame, item_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate rows plus one total row per
+    partition (item=NULL, n=partition item count)."""
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cnt = pd.Series(dtype="int64")
+        total = 0
         for pdf in batches:
             if not len(pdf):
                 continue
+            total += len(pdf)
             vc = pdf[item_col].value_counts()
             cnt = cnt.add(vc, fill_value=0).astype("int64")
             if len(cnt) > capacity:
@@ -50,12 +56,15 @@ def _mg_candidates(df: DataFrame, item_col: str, capacity: int) -> DataFrame:
                 # decrements stay <= N/(m+1) (the MG invariant)
                 thresh = cnt.nlargest(capacity + 1).iloc[-1]
                 cnt = cnt[cnt > thresh] - thresh
-        yield pd.DataFrame({item_col: cnt.index.astype(str)})
+        yield pd.DataFrame(
+            {
+                item_col: list(cnt.index.astype(str)) + [None],
+                "n": [0] * len(cnt) + [total],
+            }
+        )
 
-    return (
-        df.select(F.col(item_col).cast("string").alias(item_col))
-        .mapInPandas(mg, schema=f"{item_col} string")
-        .distinct()
+    return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        mg, schema=f"{item_col} string, n long"
     )
 
 
@@ -70,28 +79,26 @@ def heavy_hitters(
     ``certified`` reports whether the sketch path alone proved
     exactness (k-th count > N/(capacity+1)); when false the exact
     fallback aggregation produced the result. Ties rank by item
-    ascending, so output is fully deterministic."""
-    from pyspark.sql.window import Window
-
+    ascending, so output is fully deterministic. The returned frame is
+    materialized (<= k rows), so no lineage pins executor storage."""
+    spark = df.sparkSession
     items = df.select(F.col(item_col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
-    n_total = items.count()
+    summ = _mg_summaries(items, "item", capacity)
+    summ.persist()  # tiny: <= capacity+1 rows per partition
+    n_total = summ.filter(F.col("item").isNull()).agg(F.sum("n")).collect()[0][0] or 0
+    cand = summ.filter(F.col("item").isNotNull()).select("item").distinct()
     threshold = n_total / (capacity + 1)
 
-    cand = _mg_candidates(items, "item", capacity)
     counts = (
         items.join(F.broadcast(cand), "item")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    w = Window.orderBy(F.desc("n_occ"), F.asc("item"))
-    topk = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .persist()
-    )
-    rows = topk.collect()
+    # TakeOrdered: only k rows ever reach the driver
+    rows = counts.orderBy(F.desc("n_occ"), F.asc("item")).limit(k).collect()
+    summ.unpersist()
     kth = min((r["n_occ"] for r in rows), default=0)
     certified = bool(rows) and kth > threshold
     if not certified and rows:
@@ -104,10 +111,10 @@ def heavy_hitters(
     if not certified:
         # exact fallback: full aggregation (one shuffle over distinct
         # items); correctness never depends on the certificate
-        topk.unpersist()
         counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_occ"))
-        topk = (
-            counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
-    return topk.withColumn("certified", F.lit(bool(certified)))
+        rows = counts.orderBy(F.desc("n_occ"), F.asc("item")).limit(k).collect()
+    data = [
+        (r["item"], int(r["n_occ"]), i + 1, bool(certified))
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, _OUT_SCHEMA)

@@ -40,7 +40,7 @@ def write_time_partitioned(tiers: DataFrame, path: str, ts_col: str = "win_start
     """Materialize a tier DataFrame partitioned by (tier, day) so
     retention can drop partitions instead of rewriting files."""
     (
-        tiers.withColumn("day", (F.col(ts_col) / DAY_US).cast("long"))
+        tiers.withColumn("day", F.floor(F.col(ts_col) / DAY_US).cast("long"))
         .repartition("tier", "day")
         .write.mode("overwrite")
         .partitionBy("tier", "day")
@@ -117,12 +117,15 @@ def apply_retention(
     decisions = retention_decisions(parts_df, policy, now_day).persist()
     drops = [(r["tier"], r["day"]) for r in decisions.filter(~F.col("kept")).collect()]
     if not dry_run:
-        fs, Path = _hadoop_fs(spark)
-        for tier, day in drops:
-            fs.delete(Path(f"{path}/tier={tier}/day={day}"), True)
+        # audit FIRST, destroy second: a crash mid-run must leave a log
+        # of what was about to be (and may have been) expired — the
+        # other order destroys data with no record
         (
             decisions.withColumn("now_day", F.lit(now_day))
             .write.mode("append")
             .parquet(f"{path}/_retention_log")
         )
+        fs, Path = _hadoop_fs(spark)
+        for tier, day in drops:
+            fs.delete(Path(f"{path}/tier={tier}/day={day}"), True)
     return decisions

@@ -168,3 +168,31 @@ class TestAsofDirections:
         left = spark.createDataFrame([(1, 1, 1)], "k int, ts long, lid int")
         with pytest.raises(ValueError):
             asof_join(left, left, by="k", ts="ts", right_cols={}, direction="sideways")
+
+
+class TestAsofRegressionsR2Review:
+    def test_null_right_value_does_not_tear_attributes(self, spark):
+        # r2(ts=2) has a NULL value: the match must report r2's id with a
+        # NULL value — never pair r2's id with r1's stale value
+        left = spark.createDataFrame([(1, 3, 1)], "k int, ts long, lid int")
+        right = spark.createDataFrame(
+            [(1, 1, 5.0, 10), (1, 2, None, 20)], "k int, ts long, v double, rid int"
+        )
+        out = asof_join(
+            left, right, by="k", ts="ts",
+            right_cols={"rid": "view_rid", "v": "rv"}, right_tiebreak="rid",
+        ).collect()[0]
+        assert out["view_rid"] == 20 and out["ts_r"] == 2
+        assert out["rv"] is None  # legitimately NULL, not r1's 5.0
+
+    def test_string_tiebreak_is_honored(self, spark):
+        left = spark.createDataFrame([(1, 10, 1)], "k int, ts long, lid int")
+        right = spark.createDataFrame(
+            [(1, 10, 1.0, "a"), (1, 10, 2.0, "c"), (1, 10, 3.0, "b")],
+            "k int, ts long, v double, rid string",
+        )
+        out = asof_join(
+            left, right, by="k", ts="ts",
+            right_cols={"v": "rv"}, right_tiebreak="rid",
+        )
+        assert _rows(out, "rv") == [(2.0,)]  # 'c' greatest, wins backward

@@ -32,7 +32,7 @@ def main() -> int:
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else THRESHOLD
     bad = 0
     for q in sorted(set(old.get("queries", {})) | set(new.get("queries", {}))):
-        o, n = old["queries"].get(q), new["queries"].get(q)
+        o, n = old.get("queries", {}).get(q), new.get("queries", {}).get(q)
         if o is None or n is None:
             print(json.dumps({"query": q, "old": o, "new": n, "note": "added/removed"}))
             continue
