@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         help="maintenance mode: invalidate a work unit (SOURCE:BUCKET) in "
         "the checkpoint at --out so the next resumed run recomputes it",
     )
+    ap.add_argument(
+        "--verify-lineage",
+        choices=["blocks", "tiers"],
+        help="maintenance mode: audit the named stage's checkpoint rows "
+        "against its durable bytes at --out (exit 1 on any mismatch)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -93,6 +99,28 @@ def main(argv: list[str] | None = None) -> int:
     from processor_post_timeseries_spark.sources.synth import sequences
 
     spark = get_spark("pts-cli", master=args.master)
+
+    if args.verify_lineage:
+        from processor_post_timeseries_spark.plans.lineage import verify_lineage
+
+        stage = args.verify_lineage
+        data_path = f"{args.out}/{stage}"
+        keys = ["source", "bucket"] if stage == "blocks" else ["tier", "source", "bucket"]
+        rows = verify_lineage(spark, args.out, stage, data_path, keys).collect()
+        bad = sorted(r["partition_key"] for r in rows if not r["ok"])
+        print(
+            json.dumps(
+                {
+                    "mode": "verify-lineage",
+                    "stage": stage,
+                    "n_partitions": len(rows),
+                    "n_mismatched": len(bad),
+                    "mismatched": bad[:20],
+                }
+            )
+        )
+        spark.stop()
+        return 1 if bad else 0
 
     if args.backfill:
         from processor_post_timeseries_spark.plans.backfill import invalidate_where

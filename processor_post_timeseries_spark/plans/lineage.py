@@ -207,3 +207,58 @@ def assign_manifest_batches(
             "pos_in_batch", (F.col("global_pos") % batch_size).cast("bigint")
         )
     )
+
+
+def verify_lineage(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    data_path: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Audit a stage's checkpoint against its durable bytes: recompute
+    per-partition row_count and xor-of-xxhash64 checksum from the data
+    files and full-outer-join the checkpoint rows. Returns
+    (partition_key, ok, ck_rows, data_rows, ck_checksum, data_checksum);
+    ``ok`` is false on any count/checksum mismatch, a checkpointed
+    partition with no data, or data with no checkpoint row. This is the
+    operational twin of the driver-certified ``s8_lineage_certify``."""
+    ck = (
+        read_checkpoint(spark, root)
+        .filter((F.col("stage") == stage) & (F.col("status") == "done"))
+        .select(
+            "partition_key",
+            F.col("row_count").alias("ck_rows"),
+            F.col("checksum").alias("ck_checksum"),
+        )
+    )
+    written = spark.read.parquet(data_path)
+    recomputed = (
+        written.withColumn("_h", F.xxhash64(*[F.col(c) for c in written.columns]))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("data_rows"),
+            F.expr("bit_xor(_h)").alias("data_checksum"),
+        )
+        .select(
+            F.concat_ws("/", *[F.col(c).cast("string") for c in key_cols]).alias(
+                "partition_key"
+            ),
+            "data_rows",
+            "data_checksum",
+        )
+    )
+    j = ck.join(recomputed, "partition_key", "full_outer")
+    return j.select(
+        "partition_key",
+        (
+            F.col("ck_rows").isNotNull()
+            & F.col("data_rows").isNotNull()
+            & (F.col("ck_rows") == F.col("data_rows"))
+            & (F.col("ck_checksum") == F.col("data_checksum"))
+        ).alias("ok"),
+        "ck_rows",
+        "data_rows",
+        "ck_checksum",
+        "data_checksum",
+    )

@@ -96,3 +96,27 @@ def test_cli_backfill_mode(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["mode"] == "backfill" and rep["invalidated_rows"] == 3
+
+
+def test_cli_verify_lineage_green_and_detects_tamper(spark, tmp_path, capsys, monkeypatch):
+    import glob
+    import json as _json
+    import os
+
+    from processor_post_timeseries_spark.cli import main
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    seq = sequences(spark, 15, seed=15, min_tok=5, max_tok=60, vocab=100)
+    out = str(tmp_path / "o5")
+    run_pipeline(spark, seq, _cfg(out, "run-v"))
+
+    rc = main(["--out", out, "--verify-lineage", "blocks"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["n_mismatched"] == 0 and rep["n_partitions"] > 0
+
+    # tamper: remove one data file -> the audit must fail loudly
+    victim = sorted(glob.glob(f"{out}/blocks/**/*.parquet", recursive=True))[0]
+    os.remove(victim)
+    rc2 = main(["--out", out, "--verify-lineage", "blocks"])
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 1 and rep2["n_mismatched"] >= 1
