@@ -2471,3 +2471,51 @@ _DUCK_DIALECT["{DOW}"] = "extract(dow FROM ts)"               # already 0-6 Sun-
 _REGISTRY["w11_rank_functions"] = _shared(_W11_RANKS)
 _REGISTRY["p17_date_parts"] = _shared(_P17_DATE_PARTS)
 _REGISTRY["j5_full_outer"] = _shared(_J5_FULL_OUTER)
+
+
+def _q_tok_subsequence_search():
+    """Tokens+ — contiguous token-subsequence search over the
+    ``array<int>`` token streams (the token-level analog of
+    ``decontaminate``: find exact token-pattern occurrences, e.g. a
+    known eval prompt's token ids, inside training sequences). Pure JVM
+    array expressions: exists/filter over a positions sequence with a
+    slice equality — no explode, no shuffle beyond none. The char-token
+    trick makes DuckDB the oracle: the token stream IS the text's ascii
+    codes, so occurrences equal substring occurrences of 'scan'
+    (pattern chosen with no self-overlap, so replace-based counting in
+    the oracle equals sliding-window counting in the engine)."""
+    PAT = "scan"
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        seq = _char_tokens_df(spark, sf_dir)
+        pat = F.array(*[F.lit(ord(c)) for c in PAT])
+        k = len(PAT)
+        positions = F.when(
+            F.size("tokens") >= k,
+            F.filter(
+                F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
+                lambda i: F.slice(F.col("tokens"), i, k) == pat,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            seq.withColumn("_pos", positions)
+            .filter(F.size("_pos") > 0)
+            .select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.size("_pos").cast("bigint").alias("n_occ"),
+                F.array_min("_pos").cast("bigint").alias("first_pos"),
+            )
+        )
+
+    return run, f"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '{PAT}', ''))) // {len(PAT)} AS BIGINT) AS n_occ,
+       CAST(strpos(text, '{PAT}') AS BIGINT) AS first_pos
+FROM documents
+WHERE strpos(text, '{PAT}') > 0
+"""
+
+
+_REGISTRY["tok_subsequence_search"] = _q_tok_subsequence_search()
