@@ -83,3 +83,58 @@ def test_resample_matches_numpy_interp(spark, pts, step):
     for g in grid:
         expected = float(np.interp(g, xs, ys))
         assert got[int(g)] == pytest.approx(expected, abs=1e-6), (g, got[int(g)], expected)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(st.integers(0, 500), min_size=0, max_size=30),
+    ivs=st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500)), min_size=0, max_size=10),
+    grid=st.integers(1, 100),
+)
+def test_interval_join_matches_brute_force(spark, pts, ivs, grid):
+    from processor_post_timeseries_spark.operators.interval import interval_join
+
+    pts_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(pts)] or [(None, None)], "ts long, pid int"
+    ).filter("ts is not null")
+    iv_df = spark.createDataFrame(
+        [(s, e, i) for i, (s, e) in enumerate(ivs)] or [(None, None, None)],
+        "s long, e long, iid int",
+    ).filter("s is not null")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts_df, iv_df, "ts", "s", "e", grid_us=grid).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, t in enumerate(pts)
+        for ii, (s, e) in enumerate(ivs)
+        if s <= t < e
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=5),
+    num=st.integers(1, 5),
+    den=st.integers(5, 20),
+)
+def test_stratified_sample_matches_exact_reference(spark, sizes, num, den):
+    import hashlib
+    import math
+
+    from processor_post_timeseries_spark.operators.sampling import stratified_sample
+
+    rows = [(f"g{g}", g * 1000 + i) for g, n in enumerate(sizes) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+    got = sorted(
+        (r["grp"], r["id"]) for r in stratified_sample(df, "grp", "id", num, den).collect()
+    )
+    want = []
+    for g, n in enumerate(sizes):
+        ids = [g * 1000 + i for i in range(n)]
+        quota = math.ceil(n * num / den)
+        picked = sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))[:quota]
+        want += [(f"g{g}", x) for x in picked]
+    assert got == sorted(want)
