@@ -119,8 +119,11 @@ def main() -> None:
             resume=False,
             # measured: the fused single-pass kernel is ~1.5x slower here
             # (object-dtype padding + wider Arrow frames outweigh the
-            # saved second scan); modular concurrent stages win
+            # saved second scan)
             fused_ingest=False,
+            # FAIR-pooled concurrent stages are the default (see
+            # pipeline.py); PTS_BENCH_SERIAL=1 forces serial for A/Bs
+            concurrent_stages=not os.environ.get("PTS_BENCH_SERIAL"),
         ),
     )
     rollup_sec = time.perf_counter() - t0

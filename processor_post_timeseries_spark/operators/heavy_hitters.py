@@ -100,7 +100,11 @@ def heavy_hitters(
     rows = counts.orderBy(F.desc("n_occ"), F.asc("item")).limit(k).collect()
     summ.unpersist()
     kth = min((r["n_occ"] for r in rows), default=0)
-    certified = bool(rows) and kth > threshold
+    # the threshold certificate needs a FULL top-k candidate slate: with
+    # fewer than k recounted candidates, kth is the min over a short list
+    # and an evicted true top-k item could be silently missing — so a
+    # short slate always falls through to the secondary check / fallback
+    certified = len(rows) >= k and kth > threshold
     if not certified and rows:
         # secondary certificate: if the whole vocabulary fits the
         # capacity, no partition can ever have evicted, so the recount

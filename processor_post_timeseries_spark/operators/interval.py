@@ -39,19 +39,29 @@ def interval_join(
     Column names must not collide between the two inputs (alias first).
     Empty/inverted intervals (``end <= start``) match nothing.
     """
+    # cell id = the cell's START TIMESTAMP (ts - pmod(ts, grid)): pure
+    # int64 subtraction, so cell assignment is exact for ALL int64 inputs
+    # — the earlier floor(ts / grid) went through a double and could land
+    # one cell off beyond 2^53, silently dropping/duplicating matches
+    # relative to the containment semantics (and the oracle's exact
+    # integer division)
+    def cell_of(col):
+        return col - F.pmod(col, F.lit(grid_us))
+
     cells = (
         intervals.filter(F.col(end_col) > F.col(start_col))
         .withColumn(
             "_cell",
             F.explode(
                 F.sequence(
-                    F.floor(F.col(start_col) / grid_us),
-                    F.floor((F.col(end_col) - 1) / grid_us),
+                    cell_of(F.col(start_col)),
+                    cell_of(F.col(end_col) - 1),
+                    F.lit(grid_us),
                 )
             ),
         )
     )
-    pts = points.withColumn("_cell", F.floor(F.col(ts_col) / grid_us))
+    pts = points.withColumn("_cell", cell_of(F.col(ts_col)))
     return (
         pts.join(cells, "_cell")
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))

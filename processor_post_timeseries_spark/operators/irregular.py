@@ -1,0 +1,158 @@
+"""Explicit per-sample timestamps for the token-sequence model — the
+irregular-rate channel path the reference reads from stored
+``timestamps`` arrays (``/root/reference/processor/reader.py:62-64,
+108-136``) instead of synthesizing an implicit index.
+
+Sequences carry an OPTIONAL ``ts: array<long>`` column (epoch-µs,
+position-aligned with ``tokens``). Because a doc's whole stream lives in
+one row, every per-doc computation here is a **narrow map over array
+expressions** — segmentation, segment extents, and block bounds need no
+shuffle at all (contrast ``operators/segments.py``, which sessionizes
+row-per-sample tables and must shuffle on the key). At 100 TB that is
+the difference between a scan and a sort.
+
+Semantics mirror the reference reader exactly:
+
+* a stream splits where the timestamp delta exceeds the gap threshold,
+  default ``2 × (1/rate)`` (``reader.py:199``);
+* segments are emitted half-open ``[start_us, end_us)`` with
+  ``end_us = last_ts + 1`` (``reader.py:222-225``);
+* blocks are cut WITHIN segments into fixed sample-count chunks
+  (``writer.py:46-48``), each keyed by its first/last sample's REAL
+  µs bounds (``writer.py:90-95``) — not synthetic indices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def gap_threshold_us(rate_hz: float) -> int:
+    """The reference's segmentation threshold: 2 sample periods
+    (``/root/reference/processor/reader.py:199``)."""
+    return int(round(2.0 * 1_000_000.0 / rate_hz))
+
+
+def _boundary_positions(ts: Column, gap_us: Column) -> Column:
+    """1-based positions p where a NEW segment starts (ts[p]-ts[p-1] >
+    gap), prefixed with 1 and suffixed with n+1 — i.e. half-open
+    position bounds of every segment. Guarded for n < 2 (sequence(2, n)
+    would count DOWN in Spark, not return empty)."""
+    n = F.size(ts)
+    gaps = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(ts, i) - F.element_at(ts, i - 1) > gap_us,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.concat(F.array(F.lit(1)), gaps, F.array(n + 1))
+
+
+def segments_from_ts_arrays(
+    seq: DataFrame,
+    ts_col: str = "ts",
+    gap_us: int | Column = 4000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-segment extents from array-typed timestamps: one output row
+    per (doc, segment) with ``seg_id`` (0-based), half-open µs bounds
+    and the sample count. Zero shuffles — pure array expressions +
+    one explode."""
+    gap = gap_us if isinstance(gap_us, Column) else F.lit(gap_us)
+    ts = F.col(ts_col)
+    bounds = _boundary_positions(ts, gap)
+    segs = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.struct(
+            (j - 1).cast("long").alias("seg_id"),
+            F.element_at(bounds, j).alias("p0"),
+            F.element_at(bounds, j + 1).alias("p1"),
+        ),
+    )
+    keep = [c for c in seq.columns if c not in (ts_col, "tokens")]
+    return (
+        seq.filter(F.size(ts) > 0)
+        .select(*keep, ts.alias("_ts"), F.explode(segs).alias("_s"))
+        .select(
+            *keep,
+            F.col("_s.seg_id").alias("seg_id"),
+            F.element_at("_ts", F.col("_s.p0")).alias("seg_start_us"),
+            (F.element_at("_ts", F.col("_s.p1") - 1) + F.lit(1)).alias("seg_end_us"),
+            (F.col("_s.p1") - F.col("_s.p0")).cast("long").alias("n_samples"),
+        )
+    )
+
+
+def block_bounds_from_ts_arrays(
+    seq: DataFrame,
+    ts_col: str = "ts",
+    gap_us: int | Column = 4000,
+    block_size: int = 131_072,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size block bounds cut WITHIN gap-delimited segments, keyed
+    with the real µs extents of each chunk's first/last sample —
+    ``{doc}_{start_us}_{end_us}.bin``, the reference's object naming
+    with stored-timestamp bounds (``writer.py:90-95``). Returns one row
+    per (doc, seg_id, block_no) with (start_us, end_us half-open,
+    start_pos, n, key). Narrow map + one explode; payload encoding is
+    orthogonal (``operators/blocks.py`` codecs apply per slice)."""
+    gap = gap_us if isinstance(gap_us, Column) else F.lit(gap_us)
+    ts = F.col(ts_col)
+    bounds = _boundary_positions(ts, gap)
+    blocks = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.transform(
+                F.sequence(
+                    F.element_at(bounds, j),
+                    F.element_at(bounds, j + 1) - 1,
+                    F.lit(block_size),
+                ),
+                lambda b, k: F.struct(
+                    (j - 1).cast("long").alias("seg_id"),
+                    k.cast("int").alias("block_no"),
+                    b.alias("p0"),
+                    F.least(b + block_size, F.element_at(bounds, j + 1)).alias("p1"),
+                ),
+            ),
+        )
+    )
+    keep = [c for c in seq.columns if c not in (ts_col, "tokens")]
+    out = (
+        seq.filter(F.size(ts) > 0)
+        .select(*keep, ts.alias("_ts"), F.explode(blocks).alias("_b"))
+        .select(
+            *keep,
+            F.col("_b.seg_id").alias("seg_id"),
+            F.col("_b.block_no").alias("block_no"),
+            F.element_at("_ts", F.col("_b.p0")).alias("start_us"),
+            (F.element_at("_ts", F.col("_b.p1") - 1) + F.lit(1)).alias("end_us"),
+            F.col("_b.p0").cast("long").alias("start_pos"),
+            (F.col("_b.p1") - F.col("_b.p0")).cast("int").alias("n"),
+        )
+    )
+    return out.withColumn(
+        "key",
+        F.format_string("%s_%012d_%012d.bin", id_col, "start_us", "end_us"),
+    )
+
+
+def explode_ts_samples(
+    seq: DataFrame, ts_col: str = "ts", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, ts_us, v) row-per-sample view of an explicit-ts
+    sequence — the bridge into the row-oriented operators (resample,
+    asof, interval joins). ``arrays_zip`` + ``posexplode`` keep it a
+    narrow map; positions are 0-based."""
+    return seq.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(F.col(ts_col).alias("ts_us"), F.col("tokens").alias("v"))),
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.col("col.ts_us").alias("ts_us"),
+        F.col("col.v").alias("v"),
+    )

@@ -49,19 +49,26 @@ def resample_linear(
       deterministic output); a zero dt falls back to the left value.
     """
     step = F.lit(step_us)
+    # keep the tiebreak in its NATIVE orderable type (as asof_join does):
+    # casting to long would turn e.g. a string tiebreak into silent NULLs
+    # and make duplicate-timestamp resolution partition-dependent
+    tb_type = df.schema[tiebreak].dataType if tiebreak else None
     samples = df.select(
         F.col(by),
         F.col(ts_col).alias("_ts"),
         F.col(val_col).cast("double").alias("_v"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("_tb"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
         F.lit(0).alias("_side"),
     )
     grid = (
         df.groupBy(by)
         .agg(F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx"))
+        # first grid multiple >= _mn via pure int64 pmod arithmetic —
+        # exact for all int64 (the old floor((mn+step-1)/step)*step went
+        # through a double and could drift beyond 2^53)
         .withColumn(
             "_gs",
-            (F.floor((F.col("_mn") + step_us - 1) / step_us) * step).cast("long"),
+            (F.col("_mn") + F.pmod(F.lit(0) - F.col("_mn"), step)).cast("long"),
         )
         # a key whose span straddles no grid multiple yields no grid
         # points (Spark's sequence() raises on start > stop; DuckDB's
@@ -71,7 +78,7 @@ def resample_linear(
             F.col(by),
             F.explode(F.sequence(F.col("_gs"), F.col("_mx"), step)).alias("_ts"),
             F.lit(None).cast("double").alias("_v"),
-            F.lit(None).cast("long").alias("_tb"),
+            (F.lit(None).cast(tb_type) if tb_type else F.lit(None).cast("int")).alias("_tb"),
             F.lit(1).alias("_side"),
         )
     )

@@ -51,6 +51,18 @@ class PipelineConfig:
     # one Arrow transfer instead of two — the production mode for large
     # corpora; modular per-stage mode kept for operator-level reuse
     fused_ingest: bool = False
+    # run the blocks stage as a concurrent Spark job alongside the tier
+    # cascade (fills idle cores during tail tasks). r3 same-window A/B:
+    # under FIFO this was BIMODAL (15-42 s on identical input — whichever
+    # job submitted first starved the other); with per-stage FAIR pools
+    # (session.py scheduler.mode=FAIR + setLocalProperty below) it is
+    # both the fastest and the most stable mode measured: {24.4, 19.6,
+    # 20.9, 20.5} s vs serial {43.1, 50.1, 26.7, 23.0} s alternating in
+    # the same windows, and beats the r1 pin (21.6-28.6 s).
+    concurrent_stages: bool = True
+    # record lineage on helper threads (the scan+groupBy certification
+    # jobs overlap the next stage) — small jobs, kept on by default
+    async_lineage: bool = True
 
 
 def _write_stage(
@@ -109,7 +121,7 @@ def _write_stage(
             spark, cfg.out_dir, stage, written, key_cols, cfg.run_id, only_keys=keys
         )
 
-    if record_threads is None:
+    if record_threads is None or not cfg.async_lineage:
         _record()
     else:
         t = threading.Thread(target=_record, name=f"lineage-{stage}")
@@ -123,11 +135,14 @@ def run_pipeline(spark: SparkSession, seq_df: DataFrame, cfg: PipelineConfig) ->
     {stage: output_path}.
 
     The blocks stage and the tier cascade are independent DAGs over the
-    same input, so they are submitted as CONCURRENT Spark jobs (the tier
-    chain on the caller thread, blocks on a helper thread): when one
-    stage's task count drops below the core count (tail tasks, small
-    cascade tiers), the other stage's tasks fill the idle slots. This is
-    what keeps 4N-executor utilization - and scaling efficiency - high.
+    same input, so by default they run as CONCURRENT Spark jobs (tiers
+    on the caller thread, blocks on a helper), each tagged with its own
+    FAIR scheduler pool: when one stage's task count drops below the
+    core count (tail tasks, small cascade tiers), the other fills the
+    idle slots. The pools matter — r3's same-window A/B showed plain
+    FIFO concurrency is bimodal (15-42 s on identical input: first-
+    submitted job starves the other), while FAIR-pooled concurrency is
+    the fastest AND most stable mode measured (~20 s vs serial 23-50 s).
     """
     import threading
 
@@ -172,6 +187,11 @@ def run_pipeline(spark: SparkSession, seq_df: DataFrame, cfg: PipelineConfig) ->
     # -- stage: blocks (concurrent job) -----------------------------------
     def _blocks_stage() -> None:
         try:
+            if cfg.concurrent_stages:
+                # FAIR pool per stage (session.py sets scheduler.mode=FAIR):
+                # without this, FIFO lets whichever job submits first hog
+                # every slot and the other stage stalls behind it
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", "blocks")
             stage = "blocks"
             pending = (
                 lineage.pending_only(seq, spark, cfg.out_dir, stage, ["source", "bucket"])
@@ -189,8 +209,15 @@ def run_pipeline(spark: SparkSession, seq_df: DataFrame, cfg: PipelineConfig) ->
         except BaseException as e:  # surface on the caller thread
             blocks_err.append(e)
 
-    blocks_thread = threading.Thread(target=_blocks_stage, name="blocks-stage")
-    blocks_thread.start()
+    blocks_thread = None
+    if cfg.concurrent_stages:
+        blocks_thread = threading.Thread(target=_blocks_stage, name="blocks-stage")
+        blocks_thread.start()
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "tiers")
+    else:
+        _blocks_stage()
+        if blocks_err:
+            raise blocks_err[0]
     out["blocks"] = f"{cfg.out_dir}/blocks"
 
     # -- stage: tiers (fused cascade, one pass over raw) ------------------
@@ -234,7 +261,9 @@ def run_pipeline(spark: SparkSession, seq_df: DataFrame, cfg: PipelineConfig) ->
     for name in tier_names:
         out[f"tier_{name}"] = f"{cfg.out_dir}/{stage}/tier={name}"
 
-    blocks_thread.join()
+    if blocks_thread is not None:
+        blocks_thread.join()
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
     for t in record_threads:
         t.join()
     if blocks_err:

@@ -50,6 +50,19 @@ def gate_batch(
     )
 
 
+def write_admitted_batch(
+    admitted: DataFrame, out_dir: str, batch_id: int
+) -> None:
+    """Idempotent per-micro-batch sink: each batch lands in its own
+    ``out_dir/batch=<id>`` partition with OVERWRITE. foreachBatch gives
+    at-least-once delivery — a batch that fails mid-append is replayed
+    on restart — so a blind ``append`` would duplicate the rows the
+    failed attempt already wrote. Overwriting the batch-id-derived
+    directory makes the replay converge to exactly one copy regardless
+    of how the previous attempt died."""
+    admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={int(batch_id)}")
+
+
 def run_ingest_gate_available_now(
     spark: SparkSession,
     in_dir: str,
@@ -59,15 +72,23 @@ def run_ingest_gate_available_now(
     n: int = 5,
     min_quality: float = 0.0,
 ):
-    """readStream(documents parquet) -> per-batch gate -> append parquet,
-    trigger availableNow. Restarts resume from the checkpoint: already-
-    admitted files are never re-processed (exactly-once admission)."""
+    """readStream(documents parquet) -> per-batch gate -> per-batch
+    overwrite parquet (``out_dir/batch=<id>``), trigger availableNow.
+
+    Exactly-once admission = the streaming checkpoint (completed batches
+    are never re-run on a clean restart) PLUS the idempotent per-batch
+    sink (a batch replayed after a mid-write failure overwrites its own
+    partition instead of appending a second copy). Readers scan
+    ``out_dir`` as one partitioned dataset; ``batch`` appears as a
+    partition column."""
     src = spark.readStream.schema(DOC_SCHEMA).parquet(in_dir)
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        gate_batch(batch_df, benchmark, n=n, min_quality=min_quality).write.mode(
-            "append"
-        ).parquet(out_dir)
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_admitted_batch(
+            gate_batch(batch_df, benchmark, n=n, min_quality=min_quality),
+            out_dir,
+            batch_id,
+        )
 
     return (
         src.writeStream.foreachBatch(sink)

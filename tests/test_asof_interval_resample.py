@@ -118,6 +118,17 @@ class TestResampleLinear:
         out = resample_linear(df, by="k", ts_col="ts", val_col="v", step_us=10, tiebreak="i")
         assert _rows(out, "grid_ts_us", "v") == [(20, 3.5)]
 
+    def test_string_tiebreak_keeps_native_order(self, spark):
+        # a string tiebreak must order as a string (the old cast-to-long
+        # made it NULL and duplicate resolution partition-dependent)
+        df = spark.createDataFrame(
+            [(1, 0, 1.0, "a"), (1, 10, 5.0, "b10"), (1, 10, 7.0, "b9")],
+            "k int, ts long, v double, rid string",
+        )
+        out = resample_linear(df, by="k", ts_col="ts", val_col="v", step_us=10, tiebreak="rid")
+        # exact hit at 10 -> greatest STRING tiebreak is "b9" (not b10)
+        assert _rows(out, "grid_ts_us", "v") == [(0, 1.0), (10, 7.0)]
+
 
 class TestAsofDirections:
     def test_forward_and_equal_ts(self, spark):

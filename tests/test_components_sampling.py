@@ -19,14 +19,21 @@ def spark():
     return get_spark("test-comps", master="local[4]")
 
 
+# thresholds exercising BOTH execution paths: driver union-find
+# (small-graph fast path, the default at these sizes) and the
+# distributed pointer-doubling loop (forced via local_edge_threshold=0)
+BOTH_PATHS = pytest.mark.parametrize("thresh", [1_000_000, 0])
+
+
 class TestComponents:
-    def test_chain_and_clique_merge(self, spark):
+    @BOTH_PATHS
+    def test_chain_and_clique_merge(self, spark, thresh):
         # chain 1-2-3-4 (diameter 3, needs >1 propagation round) plus a
         # separate pair {9,10}
         pairs = spark.createDataFrame(
             [(1, 2), (2, 3), (3, 4), (9, 10)], "doc_a long, doc_b long"
         )
-        out = {r["doc_id"]: (r["comp_id"], r["comp_size"]) for r in duplicate_components(pairs).collect()}
+        out = {r["doc_id"]: (r["comp_id"], r["comp_size"]) for r in duplicate_components(pairs, local_edge_threshold=thresh).collect()}
         assert out == {
             1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
             9: (9, 2), 10: (9, 2),
@@ -43,12 +50,23 @@ class TestComponents:
         pairs = spark.createDataFrame([], "doc_a long, doc_b long")
         assert duplicate_components(pairs).count() == 0
 
-    def test_partition_invariance(self, spark):
+    @BOTH_PATHS
+    def test_partition_invariance(self, spark, thresh):
         rows = [(i, i + 1) for i in range(0, 30, 2)] + [(0, 29)]
         pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
-        a = sorted(map(tuple, duplicate_components(pairs.repartition(1)).collect()))
-        b = sorted(map(tuple, duplicate_components(pairs.repartition(13)).collect()))
+        a = sorted(map(tuple, duplicate_components(pairs.repartition(1), local_edge_threshold=thresh).collect()))
+        b = sorted(map(tuple, duplicate_components(pairs.repartition(13), local_edge_threshold=thresh).collect()))
         assert a == b
+
+    def test_local_and_distributed_paths_agree(self, spark):
+        import random
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        local = sorted(map(tuple, duplicate_components(pairs).collect()))
+        dist = sorted(map(tuple, duplicate_components(pairs, local_edge_threshold=0).collect()))
+        assert local == dist
 
 
 class TestSampling:
@@ -98,7 +116,7 @@ class TestNgramTopk:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
         )
-        out = duplicate_components(pairs, max_iters=12).collect()
+        out = duplicate_components(pairs, max_iters=12, local_edge_threshold=0).collect()
         assert len(out) == 201
         assert all(r["comp_id"] == 0 and r["comp_size"] == 201 for r in out)
 
@@ -108,7 +126,10 @@ class TestNgramTopk:
         rng = random.Random(7)
         edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        got = {r["doc_id"]: r["comp_id"] for r in duplicate_components(pairs).collect()}
+        got = {
+            r["doc_id"]: r["comp_id"]
+            for r in duplicate_components(pairs, local_edge_threshold=0).collect()
+        }
 
         # reference: plain union-find with min-relabel
         parent = {}

@@ -50,6 +50,21 @@ class TestContamination:
         out = contamination_report(corpus, bench, n=3).collect()[0]
         assert (out["n_grams"], out["n_hits"]) == (2, 1)
 
+    def test_normalized_mode_catches_cosmetic_edits(self, spark):
+        # same 3-gram hidden behind case, punctuation and double spaces:
+        # raw mode misses it, normalize=True flags it
+        corpus = spark.createDataFrame(
+            [(1, "The  QUICK, brown fox!")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "the quick brown")], "doc_id long, text string"
+        )
+        raw = contamination_report(corpus, bench, n=3).collect()[0]
+        assert raw["n_hits"] == 0 and not raw["contaminated"]
+        norm = contamination_report(corpus, bench, n=3, normalize=True).collect()[0]
+        # normalized corpus = "the quick brown fox" -> hits "the quick brown"
+        assert (norm["n_grams"], norm["n_hits"], norm["contaminated"]) == (2, 1, True)
+
 
 class TestCliRetention:
     def test_retention_mode_drops_and_reports(self, spark, tmp_path, capsys, monkeypatch):

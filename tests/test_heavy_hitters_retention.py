@@ -72,6 +72,23 @@ class TestHeavyHitters:
         df = spark.createDataFrame([], "item string")
         assert heavy_hitters(df, "item", k=3, capacity=4).count() == 0
 
+    def test_short_candidate_slate_never_certifies_via_threshold(self, spark):
+        # skewed data with one giant item + a tail bigger than capacity:
+        # MG eviction can leave fewer than k surviving candidates whose
+        # min count beats N/(m+1). A short slate must NOT certify (it
+        # could silently omit true ranks) — the exact fallback must fill
+        # all k rows with the truth.
+        rows = (
+            [("big",)] * 5000
+            + [(f"mid{i}",) for i in range(6) for _ in range(40)]
+            + [(f"t{i:03d}",) for i in range(300) for _ in range(2)]
+        )
+        df = spark.createDataFrame(rows, "item string")
+        out = heavy_hitters(df, "item", k=7, capacity=3).collect()
+        got = [(r["item"], r["n_occ"]) for r in sorted(out, key=lambda r: r["rank"])]
+        assert got == _exact_topk([r[0] for r in rows], 7)
+        assert len(out) == 7
+
 
 class TestRetention:
     def _tiers(self, spark, days=(100, 101, 102, 103)):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from processor_post_timeseries_spark.streaming.ingest_gate import (
     gate_batch,
     run_ingest_gate_available_now,
+    write_admitted_batch,
 )
 
 
@@ -61,3 +62,19 @@ def test_streaming_gate_exactly_once_across_restart(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
     assert out.filter(F.col("doc_id") == 1).count() == 1
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch that failed mid-write is
+    re-delivered with the SAME batch_id. The per-batch overwrite sink
+    must converge to one copy, including rows a dying attempt already
+    flushed."""
+    out_dir = str(tmp_path / "out")
+    batch = _docs(spark, [(1, "a b c d e f"), (2, "g h i j k l")])
+    # first (simulated partial) attempt wrote only doc 1
+    write_admitted_batch(batch.filter(F.col("doc_id") == 1), out_dir, 7)
+    # replay delivers the full batch under the same id
+    write_admitted_batch(batch, out_dir, 7)
+    write_admitted_batch(batch, out_dir, 7)  # and a second replay
+    out = spark.read.parquet(out_dir)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]

@@ -1,0 +1,95 @@
+"""Explicit-timestamp (array<long> ts) segmentation + block bounds —
+mirrors the reference reader/writer gap cases: split strictly above the
+2-period threshold, half-open [start, last+1) bounds, chunks cut within
+segments with real-µs keys."""
+
+from __future__ import annotations
+
+import pytest
+
+from processor_post_timeseries_spark.operators.irregular import (
+    block_bounds_from_ts_arrays,
+    explode_ts_samples,
+    gap_threshold_us,
+    segments_from_ts_arrays,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from processor_post_timeseries_spark.session import get_spark
+
+    return get_spark("test-irregular", master="local[4]")
+
+
+def _seq(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, ts array<long>, source string"
+    )
+
+
+def test_gap_threshold_is_two_periods():
+    assert gap_threshold_us(500.0) == 4000
+    assert gap_threshold_us(250.0) == 8000
+
+
+def test_split_on_gap_and_halfopen_bounds(spark):
+    # deltas: 1000,1000, 50000 (gap), 1000 -> segments [0..2002], [52000..53001)
+    df = _seq(spark, [("d1", [1, 2, 3, 4, 5], [0, 1000, 2000, 52000, 53000], "s")])
+    out = {
+        r["seg_id"]: (r["seg_start_us"], r["seg_end_us"], r["n_samples"])
+        for r in segments_from_ts_arrays(df, gap_us=4000).collect()
+    }
+    assert out == {0: (0, 2001, 3), 1: (52000, 53001, 2)}
+
+
+def test_gap_equal_to_threshold_does_not_split(spark):
+    # reference splits on delta > threshold, not >=
+    df = _seq(spark, [("d1", [1, 2], [0, 4000], "s")])
+    segs = segments_from_ts_arrays(df, gap_us=4000).collect()
+    assert len(segs) == 1 and segs[0]["n_samples"] == 2
+
+
+def test_single_sample_and_empty(spark):
+    df = _seq(spark, [("one", [7], [123], "s"), ("empty", [], [], "s")])
+    segs = segments_from_ts_arrays(df, gap_us=4000).collect()
+    assert len(segs) == 1
+    r = segs[0]
+    assert (r["doc_id"], r["seg_start_us"], r["seg_end_us"], r["n_samples"]) == (
+        "one", 123, 124, 1,
+    )
+
+
+def test_blocks_cut_within_segments_with_real_us_keys(spark):
+    # one segment of 5 samples + one of 2; block_size=2 -> blocks 2,2,1 | 2
+    ts = [0, 10, 20, 30, 40, 99000, 99010]
+    df = _seq(spark, [("d1", list(range(7)), ts, "s")])
+    rows = sorted(
+        (
+            (r["seg_id"], r["block_no"], r["start_us"], r["end_us"], r["n"], r["key"])
+            for r in block_bounds_from_ts_arrays(df, gap_us=4000, block_size=2).collect()
+        )
+    )
+    assert rows == [
+        (0, 0, 0, 11, 2, "d1_000000000000_000000000011.bin"),
+        (0, 1, 20, 31, 2, "d1_000000000020_000000000031.bin"),
+        (0, 2, 40, 41, 1, "d1_000000000040_000000000041.bin"),
+        (1, 0, 99000, 99011, 2, "d1_000000099000_000000099011.bin"),
+    ]
+
+
+def test_partition_invariance_and_sample_explode(spark):
+    rows = [
+        (f"d{i}", [i, i + 1, i + 2], [0, 1000, 60000 + i], "s") for i in range(20)
+    ]
+    df = _seq(spark, rows)
+    a = sorted(map(tuple, segments_from_ts_arrays(df.repartition(1), gap_us=4000).collect()))
+    b = sorted(map(tuple, segments_from_ts_arrays(df.repartition(7), gap_us=4000).collect()))
+    assert a == b
+    flat = explode_ts_samples(df)
+    assert flat.count() == 60
+    one = sorted(
+        (r["pos"], r["ts_us"], r["v"])
+        for r in flat.filter("doc_id = 'd0'").collect()
+    )
+    assert one == [(0, 0, 0), (1, 1000, 1), (2, 60000, 2)]

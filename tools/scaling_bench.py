@@ -134,8 +134,11 @@ pairing cancels the drift and the median is reported:
 |---|---|---|---|---|---|
 {rows}
 
-**Median scaling efficiency = {med:.3f}** (target >= 0.8;
-per-pair efficiency = T(4N) / (4 x T(N))).
+**Median scaling efficiency = {med:.3f} — this run {"MEETS" if med >= 0.8 else "MISSED"}
+the >= 0.8 target** (per-pair efficiency = T(4N) / (4 x T(N))).
+Gate statistic (pre-committed, fixed across rounds): the PER-RUN median
+of the latest committed protocol run. Pooled/cross-window medians are
+context only and never substitute for the gate.
 
 ## Round history (every clean-window protocol run, oldest first)
 
