@@ -156,3 +156,122 @@ def explode_ts_samples(
         F.col("col.ts_us").alias("ts_us"),
         F.col("col.v").alias("v"),
     )
+
+
+def irregular_to_blocks(
+    seq: DataFrame,
+    ts_col: str = "ts",
+    gap_us: int = 4000,
+    block_size: int = 131_072,
+) -> DataFrame:
+    """The full explicit-ts write path: segment on the gap rule, cut
+    fixed-size chunks within segments, DoD-compress each chunk's tokens
+    AND its timestamp array (delta-of-delta is the natural codec for
+    near-regular timestamps — gaps land as single large deltas), key by
+    real µs bounds. One Arrow-batched kernel, no shuffle; the numpy
+    boundary math (``np.diff > gap``) is vectorized per doc.
+
+    Output: (doc_id, source, seg_id, block_no, start_us, end_us,
+    start_pos, n, payload, ts_payload, key). Round-trip via
+    ``irregular_from_blocks``.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.codec import dod_encode_array
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("seg_id", T.LongType(), False),
+            T.StructField("block_no", T.IntegerType(), False),
+            T.StructField("start_us", T.LongType(), False),
+            T.StructField("end_us", T.LongType(), False),  # half-open
+            T.StructField("start_pos", T.LongType(), False),  # 0-based
+            T.StructField("n", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("ts_payload", T.BinaryType(), False),
+        ]
+    )
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, src, toks, tss in zip(
+                pdf["doc_id"], pdf["source"], pdf["tokens"], pdf[ts_col]
+            ):
+                t = np.asarray(toks, dtype=np.int32)
+                ts = np.asarray(tss, dtype=np.int64)
+                if len(ts) == 0:
+                    continue
+                # segment boundaries: positions AFTER a gap (0-based)
+                brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+                bounds = np.concatenate(([0], brk, [len(ts)]))
+                for sid in range(len(bounds) - 1):
+                    s0, s1 = int(bounds[sid]), int(bounds[sid + 1])
+                    for bno, b0 in enumerate(range(s0, s1, block_size)):
+                        b1 = min(b0 + block_size, s1)
+                        rows.append(
+                            (
+                                doc,
+                                src,
+                                sid,
+                                bno,
+                                int(ts[b0]),
+                                int(ts[b1 - 1]) + 1,
+                                b0,
+                                b1 - b0,
+                                dod_encode_array(t[b0:b1]),
+                                dod_encode_array(
+                                    # ts deltas fit int32 after subtracting
+                                    # the block start (bounded by block span)
+                                    (ts[b0:b1] - ts[b0]).astype(np.int32)
+                                ),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    out = seq.mapInPandas(cut, schema=schema)
+    return out.withColumn(
+        "key",
+        F.format_string("%s_%012d_%012d.bin", "doc_id", "start_us", "end_us"),
+    )
+
+
+def irregular_from_blocks(blocks: DataFrame) -> DataFrame:
+    """Inverse of ``irregular_to_blocks``: decode + reassemble per doc in
+    (seg_id, block_no) order -> (doc_id, tokens, ts, n_tok, source).
+    One shuffle (regroup a doc's blocks), deterministic in-group sort —
+    the same ordered-assembly contract as ``blocks.from_blocks``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codec import dod_decode_array
+
+    def assemble(key, pdf):
+        pdf = pdf.sort_values(["seg_id", "block_no"])
+        toks = [dod_decode_array(bytes(p)) for p in pdf["payload"]]
+        tss = [
+            dod_decode_array(bytes(p)).astype(np.int64) + int(s)
+            for p, s in zip(pdf["ts_payload"], pdf["start_us"])
+        ]
+        t = np.concatenate(toks) if toks else np.empty(0, np.int32)
+        ts = np.concatenate(tss) if tss else np.empty(0, np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": [key[0]],
+                "tokens": [t.astype(np.int32)],
+                "ts": [ts],
+                "n_tok": [len(t)],
+                "source": [pdf["source"].iloc[0]],
+            }
+        )
+
+    return blocks.groupBy("doc_id").applyInPandas(
+        assemble,
+        schema="doc_id string, tokens array<int>, ts array<long>, n_tok int, source string",
+    )

@@ -11,6 +11,8 @@ from processor_post_timeseries_spark.operators.irregular import (
     block_bounds_from_ts_arrays,
     explode_ts_samples,
     gap_threshold_us,
+    irregular_from_blocks,
+    irregular_to_blocks,
     segments_from_ts_arrays,
 )
 
@@ -76,6 +78,37 @@ def test_blocks_cut_within_segments_with_real_us_keys(spark):
         (0, 2, 40, 41, 1, "d1_000000000040_000000000041.bin"),
         (1, 0, 99000, 99011, 2, "d1_000000099000_000000099011.bin"),
     ]
+
+
+def test_payload_blocks_roundtrip_and_kernel_agrees_with_sql_bounds(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for d in range(12):
+        n = rng.randrange(1, 60)
+        ts, cur = [], 0
+        for i in range(n):
+            cur += 40000 if rng.random() < 0.08 and i else rng.randrange(500, 1500)
+            ts.append(cur)
+        rows.append((f"d{d}", [rng.randrange(0, 255) for _ in range(n)], ts, "s"))
+    df = _seq(spark, rows)
+    blocks = irregular_to_blocks(df, gap_us=4000, block_size=7)
+    # the numpy kernel's (seg, block, bounds) must equal the JVM-exprs path
+    a = sorted(
+        (r["doc_id"], r["seg_id"], r["block_no"], r["start_us"], r["end_us"], r["n"], r["key"])
+        for r in blocks.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["seg_id"], r["block_no"], r["start_us"], r["end_us"], r["n"], r["key"])
+        for r in block_bounds_from_ts_arrays(df, gap_us=4000, block_size=7).collect()
+    )
+    assert a == b
+    # decode + reassemble: tokens AND timestamps byte-identical
+    back = {r["doc_id"]: r for r in irregular_from_blocks(blocks).collect()}
+    for doc_id, toks, ts, _src in rows:
+        assert list(back[doc_id]["tokens"]) == toks
+        assert list(back[doc_id]["ts"]) == ts
 
 
 def test_partition_invariance_and_sample_explode(spark):

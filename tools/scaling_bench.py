@@ -200,6 +200,10 @@ baseline to beat round over round.
 | r2: LSH planes hoisted to literal arrays | removes O(rows x dim x planes) constant md5s from the JVM |
 | r2: xxh64 minhash family (md5 kept for the oracle) | dedup LSH 6.9s -> 5.4s at sf0.1 (4x smaller signature shuffle) |
 | r2: batch-vectorized simhash (unique-word table + reduceat) | no per-doc Python loop; enabled the exact SQL oracle |
+| r3: per-stage FAIR scheduler pools for concurrent blocks/tiers | resolves the r2 regression: FIFO concurrency was bimodal 15-42 s (first job starves the other); FAIR-pooled is fastest AND stable ({{24.4, 19.6, 20.9, 20.5}} s vs serial {{43.1, 50.1, 26.7, 23.0}} s, same windows) |
+| r3: duplicate_components driver union-find under edge threshold | 11.2 s -> sub-second CC at sf0.1 (pair lists are corpus-size-independent; distributed O(log d) path kept above threshold) |
+| r3: lazy localCheckpoint + observe for CC convergence | one job per round instead of two in the distributed path |
+| r3: xxh64 MinHash promoted to default | certified vs md5 family on the sf corpus (dedup_minhash_lsh64_parity) |
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
