@@ -2675,12 +2675,12 @@ chars AS (
   FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
   WHERE i <= length(text)
 ), d AS (
-  SELECT doc_id, i, CASE WHEN i = 1 THEN 0
+  SELECT doc_id, i, v, CASE WHEN i = 1 THEN 0
          WHEN v % 11 = 0 THEN 40000
          ELSE 800 + (v % 7) * 100 END AS dlt
   FROM chars
 ), tsv AS (
-  SELECT doc_id, i, CAST(SUM(dlt) OVER w AS BIGINT) AS ts_us
+  SELECT doc_id, i, v, CAST(SUM(dlt) OVER w AS BIGINT) AS ts_us
   FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY i)
 ), flag AS (
   SELECT doc_id, i, ts_us,
@@ -2766,3 +2766,125 @@ FROM blk
 
 
 _REGISTRY["w13_irregular_block_keys"] = _q_w13_irregular_block_keys()
+
+
+def _q_a2_irregular_rate():
+    """A2+ for the array model — rate inference from stored timestamp
+    arrays (operators/irregular.py rate_from_ts_arrays): median delta of
+    the first 10 samples, rate = 1e6/median (reference utils.py:6-13),
+    computed zero-shuffle inside the row. The oracle replays with
+    MEDIAN() over the first nine deltas (i = 2..10) per doc."""
+
+    def run(spark, sf_dir):
+        from .operators.irregular import rate_from_ts_arrays
+
+        seq = _irregular_ts_seq(spark, sf_dir)
+        return rate_from_ts_arrays(seq, ts_col="ts", first_k=10)
+
+    return run, f"""
+WITH {_DUCK_IRREGULAR_SEG_CTE}
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(MEDIAN(dlt) AS DOUBLE) AS median_delta_us,
+       CAST(ROUND(1e6 / NULLIF(MEDIAN(dlt), 0), 9) AS DOUBLE) AS inferred_rate_hz
+FROM d WHERE i BETWEEN 2 AND 10
+GROUP BY doc_id
+"""
+
+
+_REGISTRY["a2_irregular_rate"] = _q_a2_irregular_rate()
+
+
+def _q_w14_irregular_resample():
+    """W14+ — the explicit-ts stream resampled onto a 0.1 s grid:
+    explode_ts_samples bridges the array model into resample_linear
+    (single-window-pass plan, see w7). Timestamps are strictly
+    increasing within a doc (deltas >= 800 µs), so position is a
+    formality tiebreak. The oracle uses the same cumulative-count
+    bracket idiom as w7 over the replayed timestamp prefix sums."""
+    STEP = 100_000
+
+    def run(spark, sf_dir):
+        from .operators.irregular import explode_ts_samples
+        from .operators.resample import resample_linear
+
+        seq = _irregular_ts_seq(spark, sf_dir)
+        flat = explode_ts_samples(seq)
+        return resample_linear(
+            flat, by="doc_id", ts_col="ts_us", val_col="v",
+            step_us=STEP, tiebreak="pos",
+        )
+
+    return run, f"""
+WITH {_DUCK_IRREGULAR_SEG_CTE},
+e AS (
+  SELECT doc_id, ts_us, v,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ts_us, i) AS idx
+  FROM tsv
+), ext AS (
+  SELECT doc_id, MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e GROUP BY doc_id
+), grid AS (
+  SELECT doc_id,
+         unnest(generate_series((mn + {STEP} - 1) // {STEP} * {STEP}, mx, {STEP})) AS gts
+  FROM ext
+), u AS (
+  SELECT doc_id, ts_us AS ts, 0 AS side FROM e
+  UNION ALL
+  SELECT doc_id, gts AS ts, 1 AS side FROM grid
+), c AS (
+  SELECT doc_id, ts, side,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY ts, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_idx
+  FROM u
+)
+SELECT CAST(c.doc_id AS VARCHAR) AS doc_id, c.ts AS grid_ts_us,
+       CASE WHEN p.ts_us = c.ts THEN CAST(p.v AS DOUBLE)
+            ELSE CAST(ROUND(COALESCE(
+                   p.v + (c.ts - p.ts_us) * (n.v - p.v)
+                         / NULLIF(n.ts_us - p.ts_us, 0),
+                   p.v), 6) AS DOUBLE)
+       END AS v
+FROM c
+JOIN e p ON p.doc_id = c.doc_id AND p.idx = c.prev_idx
+LEFT JOIN e n ON n.doc_id = c.doc_id AND n.idx = c.prev_idx + 1
+WHERE c.side = 1
+"""
+
+
+_REGISTRY["w14_irregular_resample"] = _q_w14_irregular_resample()
+
+
+def _q_w15_irregular_tier():
+    """W15+ — REAL-TIME-window tier aggregates over explicit-ts streams
+    (operators/irregular.py tier_from_ts_arrays): per (doc, 0.25 s
+    window) min/max/sum/count/mean, computed with one batch-vectorized
+    reduceat kernel over the concatenated Arrow batch (the rollup.py
+    discipline: no per-doc Python). The oracle groups the replayed
+    samples by ts_us // window."""
+    WIN = 250_000
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.irregular import tier_from_ts_arrays
+
+        seq = _irregular_ts_seq(spark, sf_dir)
+        return tier_from_ts_arrays(seq, window_us=WIN, ts_col="ts").select(
+            "doc_id", "win_us", "min_v", "max_v", "sum_v", "cnt", "mean_v"
+        )
+
+    return run, f"""
+WITH {_DUCK_IRREGULAR_SEG_CTE}
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST((ts_us // {WIN}) * {WIN} AS BIGINT) AS win_us,
+       CAST(MIN(v) AS INTEGER) AS min_v,
+       CAST(MAX(v) AS INTEGER) AS max_v,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       COUNT(*) AS cnt,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_v
+FROM tsv
+GROUP BY doc_id, ts_us // {WIN}
+"""
+
+
+_REGISTRY["w15_irregular_tier"] = _q_w15_irregular_tier()

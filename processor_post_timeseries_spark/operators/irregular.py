@@ -275,3 +275,127 @@ def irregular_from_blocks(blocks: DataFrame) -> DataFrame:
         assemble,
         schema="doc_id string, tokens array<int>, ts array<long>, n_tok int, source string",
     )
+
+
+def rate_from_ts_arrays(
+    seq: DataFrame,
+    ts_col: str = "ts",
+    first_k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Operator A2 for the array model — sampling-rate inference from
+    stored timestamps: median delta of the first ``first_k`` samples,
+    rate = 1e6/median (reference ``utils.py:6-13`` slices the first 10
+    timestamps; ``segments.infer_rate_hz`` is the row-per-sample twin).
+    ZERO shuffle: the deltas, their sort, and the median are array
+    expressions inside the row. Docs with fewer than 2 samples have no
+    deltas and are absent (the reference would divide by nothing).
+    Median of an even count is the mean of the middle two — matching
+    both ``F.median`` and DuckDB ``MEDIAN`` interpolation."""
+    ts = F.col(ts_col)
+    n = F.size(ts)
+    k = F.least(n, F.lit(first_k))
+    deltas = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), k),
+            lambda i: F.element_at(ts, i) - F.element_at(ts, i - 1),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = F.array_sort(deltas)
+    m = F.size(d)
+    median = F.when(
+        m == 0, F.lit(None).cast("double")  # guard BEFORE element_at: ANSI
+        # mode raises on index 0, and branch order is the only protection
+    ).when(
+        m % 2 == 1, F.element_at(d, ((m + 1) / 2).cast("int")).cast("double")
+    ).otherwise(
+        (
+            F.element_at(d, (m / 2).cast("int"))
+            + F.element_at(d, (m / 2).cast("int") + 1)
+        )
+        / F.lit(2.0)
+    )
+    return (
+        seq.select(F.col(id_col), median.alias("median_delta_us"))
+        .filter(F.col("median_delta_us").isNotNull())
+        .select(
+            id_col,
+            "median_delta_us",
+            F.round(F.lit(1e6) / F.nullif(F.col("median_delta_us"), F.lit(0.0)), 9)
+            .cast("double")
+            .alias("inferred_rate_hz"),
+        )
+    )
+
+
+def tier_from_ts_arrays(
+    seq: DataFrame,
+    window_us: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-windowed tier aggregates for explicit-ts sequences — the
+    array-model twin of ``rollup.tier1_from_tokens`` (which windows by
+    sample COUNT): per (doc, ``ts div window_us``) min/max/sum/count/
+    mean over token values. The reference's tiers aggregate per real
+    time window when timestamps are stored (``reader.py:108-136`` feeds
+    real µs into the chunk bounds).
+
+    Batch-vectorized kernel, zero shuffle: all docs in an Arrow batch
+    are concatenated once, window boundaries found with one ``np.diff``
+    over (doc, window) keys, and every aggregate is one ``ufunc.reduceat``
+    over the combined array — no per-doc Python loop (the rollup.py
+    discipline). Timestamps are sorted within a doc by construction
+    (stored streams are time-ordered), which the kernel asserts."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("win_us", T.LongType(), False),  # window start
+            T.StructField("min_v", T.IntegerType(), False),
+            T.StructField("max_v", T.IntegerType(), False),
+            T.StructField("sum_v", T.LongType(), False),
+            T.StructField("cnt", T.LongType(), False),
+            T.StructField("mean_v", T.DoubleType(), False),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = [np.asarray(x, dtype=np.int32) for x in pdf["tokens"]]
+            tss = [np.asarray(x, dtype=np.int64) for x in pdf[ts_col]]
+            lens = np.array([len(x) for x in toks], dtype=np.int64)
+            if lens.sum() == 0:
+                yield pd.DataFrame({f.name: [] for f in schema.fields})
+                continue
+            t = np.concatenate([x for x in toks if len(x)])
+            ts = np.concatenate([x for x in tss if len(x)])
+            nz = lens > 0
+            doc_idx = np.repeat(np.flatnonzero(nz), lens[nz])
+            w = ts // window_us
+            change = (np.diff(doc_idx) != 0) | (np.diff(w) != 0)
+            starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            docs = pdf["doc_id"].to_numpy()[doc_idx[starts]]
+            srcs = pdf["source"].to_numpy()[doc_idx[starts]]
+            sums = np.add.reduceat(t.astype(np.int64), starts)
+            cnts = np.diff(np.append(starts, len(t)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": docs,
+                    "source": srcs,
+                    "win_us": w[starts] * window_us,
+                    "min_v": np.minimum.reduceat(t, starts),
+                    "max_v": np.maximum.reduceat(t, starts),
+                    "sum_v": sums,
+                    "cnt": cnts,
+                    "mean_v": np.round(sums / cnts, 6),
+                }
+            )
+
+    return seq.mapInPandas(kern, schema=schema)

@@ -13,7 +13,9 @@ from processor_post_timeseries_spark.operators.irregular import (
     gap_threshold_us,
     irregular_from_blocks,
     irregular_to_blocks,
+    rate_from_ts_arrays,
     segments_from_ts_arrays,
+    tier_from_ts_arrays,
 )
 
 
@@ -109,6 +111,90 @@ def test_payload_blocks_roundtrip_and_kernel_agrees_with_sql_bounds(spark):
     for doc_id, toks, ts, _src in rows:
         assert list(back[doc_id]["tokens"]) == toks
         assert list(back[doc_id]["ts"]) == ts
+
+
+def test_rate_inference_median_semantics(spark):
+    # deltas 1000,1000,3000 -> median 1000 (odd count); two deltas
+    # 1000,2000 -> median 1500 (even interpolation); single sample -> absent
+    df = _seq(
+        spark,
+        [
+            ("odd", [1, 2, 3, 4], [0, 1000, 2000, 5000], "s"),
+            ("even", [1, 2, 3], [0, 1000, 3000], "s"),
+            ("one", [9], [42], "s"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in rate_from_ts_arrays(df, first_k=10).collect()}
+    assert set(out) == {"odd", "even"}
+    assert out["odd"]["median_delta_us"] == 1000.0
+    assert out["odd"]["inferred_rate_hz"] == 1000.0
+    assert out["even"]["median_delta_us"] == 1500.0
+    assert abs(out["even"]["inferred_rate_hz"] - 666.666666667) < 1e-9
+    # first_k truncation: only the first 3 samples (2 deltas) count
+    trunc = rate_from_ts_arrays(
+        _seq(spark, [("d", [1, 2, 3, 4], [0, 100, 200, 99999], "s")]), first_k=3
+    ).collect()[0]
+    assert trunc["median_delta_us"] == 100.0
+
+
+def test_tier_from_ts_arrays_matches_groupby_reference(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for d in range(15):
+        n = rng.randrange(1, 80)
+        ts, cur = [], rng.randrange(0, 1000)
+        for _ in range(n):
+            cur += rng.randrange(100, 90000)
+            ts.append(cur)
+        rows.append((f"d{d}", [rng.randrange(-5, 250) for _ in range(n)], ts, "s"))
+    df = _seq(spark, rows)
+    WIN = 50_000
+    got = sorted(
+        (r["doc_id"], r["win_us"], r["min_v"], r["max_v"], r["sum_v"], r["cnt"], r["mean_v"])
+        for r in tier_from_ts_arrays(df, window_us=WIN).collect()
+    )
+    # reference: plain row-per-sample groupBy on the exploded view
+    from pyspark.sql import functions as F
+
+    ref = sorted(
+        (r["doc_id"], r["win_us"], r["min_v"], r["max_v"], r["sum_v"], r["cnt"], r["mean_v"])
+        for r in explode_ts_samples(df)
+        .groupBy("doc_id", (F.col("ts_us") - F.pmod("ts_us", F.lit(WIN))).alias("win_us"))
+        .agg(
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("v") / F.count("*"), 6).alias("mean_v"),
+        )
+        .collect()
+    )
+    assert got == ref
+    # batch-vectorized kernel must be partition-invariant
+    again = sorted(
+        (r["doc_id"], r["win_us"], r["min_v"], r["max_v"], r["sum_v"], r["cnt"], r["mean_v"])
+        for r in tier_from_ts_arrays(df.repartition(13), window_us=WIN).collect()
+    )
+    assert got == again
+
+
+def test_array_model_plans_have_zero_exchanges(spark):
+    def _plan(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    df = _seq(spark, [("d1", [1, 2], [0, 1000], "s")])
+    for out in (
+        segments_from_ts_arrays(df, gap_us=4000),
+        block_bounds_from_ts_arrays(df, gap_us=4000, block_size=2),
+        rate_from_ts_arrays(df),
+        tier_from_ts_arrays(df, window_us=1000),
+    ):
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan
 
 
 def test_partition_invariance_and_sample_explode(spark):
