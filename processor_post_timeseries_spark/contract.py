@@ -2888,3 +2888,77 @@ GROUP BY doc_id, ts_us // {WIN}
 
 
 _REGISTRY["w15_irregular_tier"] = _q_w15_irregular_tier()
+
+
+def _q_dedup_span_report():
+    """Dedup+ — span-level (sub-document) duplication
+    (operators/spans.py): strided 32-char window hashing, windows whose
+    content appears in >1 doc flagged, per-doc dup fraction. The Spark
+    shape replaces the single-machine suffix array of exact-substring
+    dedup with a linear scan + one hash shuffle. The oracle replays the
+    identical strided md5 windows in SQL."""
+    W, S = 32, 8
+
+    def run(spark, sf_dir):
+        from .operators.spans import span_dup_report
+
+        load_views(spark, sf_dir)
+        return span_dup_report(spark.table("documents"), window=W, stride=S)
+
+    return run, f"""
+WITH w AS (
+  SELECT doc_id, pos, md5(substr(text, CAST(pos AS INTEGER), {W})) AS whash
+  FROM documents, (SELECT unnest(range(1, 100001, {S})) AS pos) g
+  WHERE pos <= length(text) - {W - 1}
+), shared AS (
+  SELECT whash FROM (SELECT DISTINCT whash, doc_id FROM w) dw
+  GROUP BY whash HAVING COUNT(*) > 1
+), flagged AS (
+  SELECT doc_id, COUNT(*) AS n_dup_windows
+  FROM w JOIN shared USING (whash) GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_windows,
+       COALESCE(f.n_dup_windows, 0) AS n_dup_windows,
+       ROUND(COALESCE(f.n_dup_windows, 0) / s.n_windows, 6) AS dup_fraction
+FROM sizes s LEFT JOIN flagged f ON f.doc_id = s.doc_id
+"""
+
+
+_REGISTRY["dedup_span_report"] = _q_dedup_span_report()
+
+
+def _q_text_repetition():
+    """Text+ — within-doc repetition metrics (functions/text.py
+    repetition_metrics): duplicate-bigram fraction and top-gram share,
+    the MassiveText/Gopher repetition quality family. Computed entirely
+    inside the row (zero shuffle); the oracle aggregates the exploded
+    grams."""
+
+    def run(spark, sf_dir):
+        from .functions.text import repetition_metrics
+
+        load_views(spark, sf_dir)
+        return repetition_metrics(spark.table("documents"), n=2)
+
+    return run, """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM words WHERE len(w) >= 2
+), per AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - COUNT(*) / SUM(c), 6) AS dup_fraction,
+       ROUND(MAX(c) / SUM(c), 6) AS top_share
+FROM per GROUP BY doc_id
+"""
+
+
+_REGISTRY["text_repetition"] = _q_text_repetition()

@@ -270,3 +270,53 @@ def pii_hits(text: Column) -> Column:
         total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
         cur = F.regexp_replace(cur, pat, tag)
     return total
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Within-document repetition — the duplicate-n-gram quality rules
+    of large-corpus filters (the MassiveText/Gopher "repetition" family,
+    Rae et al. 2021 §A1.1): heavily self-repeating documents (boiler-
+    plate, keyword stuffing, generation loops) are low-quality even when
+    globally unique.
+
+    Per doc: (doc_id, n_grams, n_distinct, dup_fraction, top_share)
+    where ``dup_fraction`` = 1 − distinct/total n-grams and
+    ``top_share`` = occurrences of the most frequent n-gram / total.
+    Docs with no n-grams are absent. ENTIRELY inside the row: the gram
+    array, its distinct count, and the max-occurrence count are JVM
+    array expressions — zero shuffle, no explode (contrast
+    ``ngram_freq_topk``, which aggregates across docs)."""
+    grams = word_ngram_array(F.col(text_col), n)
+    # max occurrence of any gram: for each DISTINCT gram count its
+    # occurrences with a filter inside the row, then array_max
+    occ = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    m = F.size(grams)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            m.alias("n_grams"),
+            F.size(F.array_distinct(grams)).alias("n_distinct"),
+            occ.alias("_occ"),
+        )
+        .filter(F.col("n_grams") > 0)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), decimals
+            ).alias("dup_fraction"),
+            F.round(F.array_max("_occ") / F.col("n_grams"), decimals).alias(
+                "top_share"
+            ),
+        )
+    )
