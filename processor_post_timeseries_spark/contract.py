@@ -2962,3 +2962,88 @@ FROM per GROUP BY doc_id
 
 
 _REGISTRY["text_repetition"] = _q_text_repetition()
+
+
+def _q_tok_pack_manifest():
+    """Tokens+ — sequence-packing manifest (operators/packing.py):
+    concat-and-chunk each source's documents (doc_id order) into 512-
+    token training blocks; one row per (block, contributing doc slice).
+    The oracle replays the exclusive running sum and the block-range
+    unnest in SQL. ONE wide op per side (the per-source cumsum window)."""
+    CTX = 512
+
+    def run(spark, sf_dir):
+        from .operators.packing import pack_manifest
+
+        seq = _char_tokens_df(spark, sf_dir)
+        return pack_manifest(seq, ctx_len=CTX).select(
+            "source", "block_id", "doc_id", "doc_start", "block_off", "n_in_block"
+        )
+
+    return run, f"""
+WITH seq AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(length(text) AS BIGINT) AS n_tok
+  FROM documents WHERE length(text) > 0
+), o AS (
+  SELECT source, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+              AS BIGINT) AS off
+  FROM seq
+), b AS (
+  SELECT source, doc_id, n_tok, off,
+         unnest(range(off // {CTX}, (off + n_tok - 1) // {CTX} + 1)) AS block_id
+  FROM o
+)
+SELECT source, block_id, doc_id,
+       GREATEST(block_id * {CTX}, off) - off AS doc_start,
+       GREATEST(block_id * {CTX}, off) - block_id * {CTX} AS block_off,
+       LEAST((block_id + 1) * {CTX}, off + n_tok)
+         - GREATEST(block_id * {CTX}, off) AS n_in_block
+FROM b
+"""
+
+
+_REGISTRY["tok_pack_manifest"] = _q_tok_pack_manifest()
+
+
+def _q_l4_mixture_rates():
+    """L4+ — domain-mixture planning (operators/sampling.py
+    mixture_rates): the largest corpus achievable at a fixed target
+    source distribution without upsampling, and the per-source keep
+    rates realizing it. Targets pin a skewed mix over three of the
+    synthetic sources (the rest drop to rate 0); the oracle replays the
+    min-ratio arithmetic in SQL."""
+    TGT = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+    def run(spark, sf_dir):
+        from .operators.sampling import mixture_rates
+
+        seq = _char_tokens_df(spark, sf_dir)
+        return mixture_rates(seq, TGT)
+
+    cases_share = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in TGT.items()
+    )
+    return run, f"""
+WITH avail AS (
+  SELECT source, CAST(SUM(length(text)) AS BIGINT) AS n_tok_avail
+  FROM documents GROUP BY source
+), j AS (
+  SELECT source, n_tok_avail,
+         CAST(CASE {cases_share} ELSE 0.0 END AS DOUBLE) AS target_share
+  FROM avail
+), t AS (
+  SELECT MIN(n_tok_avail / target_share) AS T FROM j WHERE target_share > 0
+)
+SELECT source, n_tok_avail, target_share,
+       CAST(FLOOR(target_share * T) AS BIGINT) AS n_tok_take,
+       CAST(ROUND(CASE WHEN target_share > 0
+                       THEN LEAST(1.0, target_share * T / n_tok_avail)
+                       ELSE 0.0 END, 9) AS DOUBLE) AS rate
+FROM j, t
+"""
+
+
+_REGISTRY["l4_mixture_rates"] = _q_l4_mixture_rates()

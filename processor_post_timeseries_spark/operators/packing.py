@@ -1,0 +1,89 @@
+"""Sequence packing — mapping variable-length token documents into
+fixed-length training examples (the GPT-style concat-and-chunk
+convention: concatenate a source's documents in deterministic order,
+cut the stream every ``ctx_len`` tokens; a document may straddle block
+boundaries). The planning op every training-data pipeline needs between
+"curated corpus" and "batched examples".
+
+Spark-first shape: the only wide operation is ONE per-source window
+cumsum (exclusive running total of ``n_tok`` ordered by ``doc_id``) —
+the same per-key sort any deterministic packing must pay. Block spans
+then come from integer arithmetic, and the per-block manifest is a JVM
+``sequence`` explode (a doc touches ``ceil`` of its span, almost always
+1-2 blocks). No global ordering: packing is per ``source``, which is
+both the scalable choice (parallelism = sources × AQE splits) and the
+semantically right one (mixtures are composed per-source upstream — see
+``sampling.hash_sample`` for rate control).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_offsets(
+    seq: DataFrame,
+    ctx_len: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Per-doc packed placement: (source, doc_id, n_tok, offset,
+    first_block, last_block). ``offset`` is the exclusive running sum of
+    token counts within the source (doc_id order); blocks are
+    ``ctx_len``-token chunks of the concatenated stream. Zero-token docs
+    contribute nothing and are dropped (they have no placement)."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum(n_col).over(w) - F.col(n_col)).cast("long")
+    return (
+        seq.filter(F.col(n_col) > 0)
+        .select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.col(n_col).cast("long").alias("n_tok"),
+            off.alias("offset"),
+        )
+        .withColumn("first_block", (F.col("offset") / ctx_len).cast("long"))
+        .withColumn(
+            "last_block",
+            ((F.col("offset") + F.col("n_tok") - 1) / ctx_len).cast("long"),
+        )
+    )
+
+
+def pack_manifest(
+    seq: DataFrame,
+    ctx_len: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Per-(block, doc) assembly manifest: (source, block_id, doc_id,
+    doc_start, block_off, n_in_block) — exactly which token slice
+    ``[doc_start, doc_start + n_in_block)`` of each doc lands at
+    ``block_off`` inside each block. The union of slices tiles every
+    block of a source densely except the final partial block. A worker
+    materializing block b reads only the manifest rows of b — packing
+    becomes an ordinary partition-pruned join against the sequence
+    table."""
+    p = pack_offsets(seq, ctx_len, source_col, id_col, n_col)
+    blocks = F.explode(F.sequence("first_block", "last_block")).alias("block_id")
+    b = p.select("source", "doc_id", "n_tok", "offset", blocks)
+    bstart = F.col("block_id") * ctx_len
+    bend = bstart + ctx_len
+    gstart = F.greatest(bstart, F.col("offset"))  # global slice bounds
+    gend = F.least(bend, F.col("offset") + F.col("n_tok"))
+    return b.select(
+        "source",
+        "block_id",
+        "doc_id",
+        (gstart - F.col("offset")).alias("doc_start"),
+        (gstart - bstart).alias("block_off"),
+        (gend - gstart).alias("n_in_block"),
+    )

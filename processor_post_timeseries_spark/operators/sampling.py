@@ -61,3 +61,63 @@ def hash_sample(
         10,
     ).cast("long")
     return df.filter(h * den < F.lit(num) * F.lit(4294967296))
+
+
+def mixture_rates(
+    seq: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    n_col: str = "n_tok",
+    decimals: int = 9,
+) -> DataFrame:
+    """Domain-mixture planning: given target source proportions
+    ``targets`` (summing to 1) and the corpus's available tokens per
+    source, compute the LARGEST total corpus achievable at exactly the
+    target mixture without upsampling, and the per-source keep rate that
+    realizes it:
+
+        T = min over targeted sources of  n_s / p_s
+        rate_s = p_s * T / n_s          (1.0 for the binding source)
+
+    Output: (source, n_tok_avail, target_share, n_tok_take, rate) —
+    one row per source present in the corpus; untargeted sources get
+    share 0/rate 0 (dropped from the mixture). Feed ``rate`` into
+    ``hash_sample`` for a deterministic, partition-invariant draw.
+
+    Plan: one partial-aggregated count per source (tiny), a driver-side
+    min over |sources| rows, arithmetic on the same tiny frame. Nothing
+    here scales with corpus rows except the one count scan."""
+    avail = seq.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(n_col).cast("long").alias("n_tok_avail")
+    )
+    spark = seq.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(p)) for s, p in targets.items()], "source string, target_share double"
+    )
+    j = avail.join(tgt, "source", "left").select(
+        "source",
+        "n_tok_avail",
+        F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+    )
+    # binding constraint: smallest n_s / p_s over targeted sources.
+    # |sources| rows — the agg is a scalar, kept as a cross-joined
+    # 1-row frame so the whole op stays one lazy plan (no collect)
+    t_total = j.filter(F.col("target_share") > 0).agg(
+        F.min(F.col("n_tok_avail") / F.col("target_share")).alias("_T")
+    )
+    return (
+        j.crossJoin(F.broadcast(t_total))
+        .select(
+            "source",
+            "n_tok_avail",
+            "target_share",
+            F.floor(F.col("target_share") * F.col("_T")).cast("long").alias("n_tok_take"),
+            F.round(
+                F.when(F.col("target_share") > 0,
+                       F.least(F.lit(1.0),
+                               F.col("target_share") * F.col("_T") / F.col("n_tok_avail")))
+                .otherwise(F.lit(0.0)),
+                decimals,
+            ).alias("rate"),
+        )
+    )

@@ -86,6 +86,24 @@ class TestSampling:
         df = spark.createDataFrame([("a", 1)], "grp string, id long")
         assert stratified_sample(df, "grp", "id", num=1, den=100).count() == 1
 
+    def test_mixture_rates_binding_source_and_exact_shares(self, spark):
+        from processor_post_timeseries_spark.operators.sampling import mixture_rates
+
+        # avail: a=1000, b=300, c=9999 (untargeted). targets 0.5/0.5:
+        # T = min(1000/.5, 300/.5) = 600 -> take 300+300, b binds (rate 1)
+        df = spark.createDataFrame(
+            [("d1", 1000, "a"), ("d2", 300, "b"), ("d3", 9999, "c")],
+            "doc_id string, n_tok int, source string",
+        )
+        out = {r["source"]: r for r in mixture_rates(df, {"a": 0.5, "b": 0.5}).collect()}
+        assert out["b"]["rate"] == 1.0 and out["b"]["n_tok_take"] == 300
+        assert out["a"]["rate"] == 0.3 and out["a"]["n_tok_take"] == 300
+        assert out["c"]["rate"] == 0.0 and out["c"]["n_tok_take"] == 0
+        # realized mixture is exactly the target
+        takes = {s: r["n_tok_take"] for s, r in out.items() if r["rate"] > 0}
+        total = sum(takes.values())
+        assert takes["a"] / total == 0.5 and takes["b"] / total == 0.5
+
     def test_hash_sample_stable_under_growth(self, spark):
         small = spark.createDataFrame([(i,) for i in range(100)], "id long")
         big = spark.createDataFrame([(i,) for i in range(1000)], "id long")

@@ -1,0 +1,89 @@
+"""Sequence packing (concat-and-chunk): placement arithmetic, manifest
+tiling invariants, partition invariance."""
+
+from __future__ import annotations
+
+import pytest
+
+from processor_post_timeseries_spark.operators.packing import (
+    pack_manifest,
+    pack_offsets,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from processor_post_timeseries_spark.session import get_spark
+
+    return get_spark("test-packing", master="local[4]")
+
+
+def _seq(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+
+
+def test_offsets_and_block_spans(spark):
+    # source s: docs of 3, 5, 4 tokens; ctx 4 -> offsets 0, 3, 8
+    df = _seq(spark, [("a", 3, "s"), ("b", 5, "s"), ("c", 4, "s"), ("z", 2, "t")])
+    out = {r["doc_id"]: r for r in pack_offsets(df, ctx_len=4).collect()}
+    assert (out["a"]["offset"], out["a"]["first_block"], out["a"]["last_block"]) == (0, 0, 0)
+    assert (out["b"]["offset"], out["b"]["first_block"], out["b"]["last_block"]) == (3, 0, 1)
+    assert (out["c"]["offset"], out["c"]["first_block"], out["c"]["last_block"]) == (8, 2, 2)
+    assert out["z"]["offset"] == 0  # sources pack independently
+
+
+def test_manifest_tiles_blocks_exactly(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [(f"d{i:03d}", rng.randrange(1, 40), f"s{i % 3}") for i in range(60)]
+    df = _seq(spark, rows)
+    CTX = 16
+    man = pack_manifest(df, ctx_len=CTX).collect()
+    # (1) per-doc slices reassemble the whole doc contiguously from 0
+    per_doc = {}
+    for r in man:
+        per_doc.setdefault(r["doc_id"], []).append((r["doc_start"], r["n_in_block"]))
+    n_of = dict((d, n) for d, n, _s in rows)
+    for doc, slices in per_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0
+        end = 0
+        for start, n in slices:
+            assert start == end and n > 0
+            end = start + n
+        assert end == n_of[doc]
+    # (2) every block is densely tiled (except the final partial block)
+    per_block = {}
+    for r in man:
+        per_block.setdefault((r["source"], r["block_id"]), []).append(
+            (r["block_off"], r["n_in_block"])
+        )
+    totals = {}
+    for (src, _b), slices in per_block.items():
+        slices.sort()
+        off = 0
+        for boff, n in slices:
+            assert boff == off
+            off += n
+        assert off <= CTX
+        totals[src] = totals.get(src, 0) + off
+    # (3) total packed tokens = total corpus tokens per source
+    want = {}
+    for _d, n, s in rows:
+        want[s] = want.get(s, 0) + n
+    assert totals == want
+
+
+def test_partition_invariance(spark):
+    rows = [(f"d{i}", 5 + i % 7, "s") for i in range(30)]
+    a = sorted(map(tuple, pack_manifest(_seq(spark, rows).repartition(1), 8).collect()))
+    b = sorted(map(tuple, pack_manifest(_seq(spark, rows).repartition(13), 8).collect()))
+    assert a == b
+
+
+def test_zero_token_docs_dropped(spark):
+    df = _seq(spark, [("a", 0, "s"), ("b", 3, "s")])
+    out = pack_offsets(df, ctx_len=4).collect()
+    assert [r["doc_id"] for r in out] == ["b"]
+    assert out[0]["offset"] == 0

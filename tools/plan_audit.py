@@ -26,6 +26,8 @@ WAIVERS = {
     "retention_policy": "crossJoin against the O(#tiers) literal dim (2 rows)",
     "w2_gapfill_grid": "oracle-shaped grid query; production path is "
     "operators/gapfill.py (narrow map, no join)",
+    "l4_mixture_rates": "broadcast crossJoin of the 1-row global-min "
+    "aggregate onto the O(#sources) frame — bounded by construction",
 }
 
 
