@@ -3047,3 +3047,54 @@ FROM j, t
 
 
 _REGISTRY["l4_mixture_rates"] = _q_l4_mixture_rates()
+
+
+def _q_l5_mixture_sample():
+    """L5+ — mixture plan EXECUTION (operators/sampling.py
+    apply_mixture): the l4 rates realized as a deterministic md5-prefix
+    draw per source. The oracle replays planning + threshold + hash
+    filter end-to-end; fixed-width lowercase hex compares like the
+    32-bit integer, so both engines keep identical doc sets."""
+    TGT = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+    def run(spark, sf_dir):
+        from .operators.sampling import apply_mixture, mixture_rates
+
+        seq = _char_tokens_df(spark, sf_dir)
+        rates = mixture_rates(seq, TGT)
+        return apply_mixture(seq.select("doc_id", "source", "n_tok"), rates)
+
+    cases_share = " ".join(f"WHEN source = '{s}' THEN {p}" for s, p in TGT.items())
+    return run, f"""
+WITH seq AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(length(text) AS BIGINT) AS n_tok
+  FROM documents
+), avail AS (
+  SELECT source, SUM(n_tok) AS n_tok_avail FROM seq GROUP BY source
+), j AS (
+  SELECT source, n_tok_avail,
+         CAST(CASE {cases_share} ELSE 0.0 END AS DOUBLE) AS target_share
+  FROM avail
+), t AS (
+  SELECT MIN(n_tok_avail / target_share) AS T FROM j WHERE target_share > 0
+), r AS (
+  SELECT source,
+         CAST(ROUND(CASE WHEN target_share > 0
+                         THEN LEAST(1.0, target_share * T / n_tok_avail)
+                         ELSE 0.0 END, 9) AS DOUBLE) AS rate
+  FROM j, t
+), thr AS (
+  SELECT source,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE lpad(lower(hex(CAST(FLOOR(rate * 4294967296.0) AS BIGINT))), 8, '0')
+         END AS thresh
+  FROM r
+)
+SELECT seq.source, seq.doc_id, seq.n_tok
+FROM seq JOIN thr ON thr.source = seq.source
+WHERE substring(md5(seq.doc_id), 1, 8) < thr.thresh
+"""
+
+
+_REGISTRY["l5_mixture_sample"] = _q_l5_mixture_sample()

@@ -121,3 +121,39 @@ def mixture_rates(
             ).alias("rate"),
         )
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Execute a mixture plan: keep each row iff its content hash falls
+    under its source's keep rate (``mixture_rates`` output joined in by
+    broadcast — |sources| rows). Same md5-prefix mechanics as
+    ``hash_sample``, generalized to fractional per-source rates: the
+    8-hex-digit prefix is compared against ``lpad(hex(floor(rate·2^32)))``
+    — fixed-width lowercase hex orders exactly like the 32-bit integer,
+    so the filter is engine-portable. rate >= 1 keeps everything ('g'
+    sorts above every hex digit); rate = 0 keeps nothing. Deterministic
+    and partition-invariant like every sampler here."""
+    thresh = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(
+                F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+            ),
+            8,
+            "0",
+        )
+    )
+    r = rates.select(F.col("source").alias(source_col), thresh.alias("_thresh"))
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(r), source_col)
+        .filter(h8 < F.col("_thresh"))
+        .drop("_thresh")
+    )

@@ -104,6 +104,29 @@ class TestSampling:
         total = sum(takes.values())
         assert takes["a"] / total == 0.5 and takes["b"] / total == 0.5
 
+    def test_apply_mixture_edges_and_determinism(self, spark):
+        from processor_post_timeseries_spark.operators.sampling import (
+            apply_mixture,
+            mixture_rates,
+        )
+
+        rows = [(f"d{i}", 10, ["a", "b", "c"][i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+        rates = mixture_rates(df, {"a": 0.9, "b": 0.1})
+        out = apply_mixture(df, rates).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], set()).add(r["doc_id"])
+        # binding source a keeps everything (rate 1), c is dropped entirely
+        assert len(by_src["a"]) == 100 and "c" not in by_src
+        # b keeps ~ rate 1/9 of its 100 docs (hash draw, not exact quota)
+        assert 2 <= len(by_src.get("b", set())) <= 30
+        # deterministic under repartitioning
+        again = apply_mixture(df.repartition(13), rates).collect()
+        assert {(r["source"], r["doc_id"]) for r in again} == {
+            (r["source"], r["doc_id"]) for r in out
+        }
+
     def test_hash_sample_stable_under_growth(self, spark):
         small = spark.createDataFrame([(i,) for i in range(100)], "id long")
         big = spark.createDataFrame([(i,) for i in range(1000)], "id long")

@@ -28,6 +28,8 @@ WAIVERS = {
     "operators/gapfill.py (narrow map, no join)",
     "l4_mixture_rates": "broadcast crossJoin of the 1-row global-min "
     "aggregate onto the O(#sources) frame — bounded by construction",
+    "l5_mixture_sample": "same 1-row global-min crossJoin inside the "
+    "embedded l4 plan; the corpus side is a broadcast hash join + filter",
 }
 
 
