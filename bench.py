@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "dedup_components",
     "agg_heavy_hitters",
     "decontaminate",
+    # round-3 operators
+    "dedup_span_report",
+    "tok_pack_manifest",
 ]
 
 
