@@ -3098,3 +3098,57 @@ WHERE substring(md5(seq.doc_id), 1, 8) < thr.thresh
 
 
 _REGISTRY["l5_mixture_sample"] = _q_l5_mixture_sample()
+
+
+def _q_tok_pack_blocks():
+    """Tokens+ — packed-block MATERIALIZATION (operators/packing.py
+    materialize_blocks): the l-manifest executed into real fixed-ctx
+    token blocks. The char-token trick certifies content exactly: each
+    block's tokens render back to text and the md5 must equal the
+    oracle's ordered string_agg of the same substring slices."""
+    CTX = 512
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.packing import materialize_blocks
+
+        seq = _char_tokens_df(spark, sf_dir)
+        out = materialize_blocks(seq, ctx_len=CTX)
+        text = F.array_join(F.transform("tokens", lambda t: F.char(t)), "")
+        return out.select(
+            "source", "block_id", "n_tokens", F.md5(text).alias("block_md5")
+        )
+
+    return run, f"""
+WITH seq AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, text,
+         CAST(length(text) AS BIGINT) AS n_tok
+  FROM documents WHERE length(text) > 0
+), o AS (
+  SELECT source, doc_id, text, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+              AS BIGINT) AS off
+  FROM seq
+), b AS (
+  SELECT source, doc_id, text, n_tok, off,
+         unnest(range(off // {CTX}, (off + n_tok - 1) // {CTX} + 1)) AS block_id
+  FROM o
+), sl AS (
+  SELECT source, block_id,
+         GREATEST(block_id * {CTX}, off) - block_id * {CTX} AS block_off,
+         substr(text,
+                CAST(GREATEST(block_id * {CTX}, off) - off + 1 AS INTEGER),
+                CAST(LEAST((block_id + 1) * {CTX}, off + n_tok)
+                     - GREATEST(block_id * {CTX}, off) AS INTEGER)) AS piece
+  FROM b
+)
+SELECT source, block_id,
+       CAST(SUM(length(piece)) AS BIGINT) AS n_tokens,
+       md5(string_agg(piece, '' ORDER BY block_off)) AS block_md5
+FROM sl GROUP BY source, block_id
+"""
+
+
+_REGISTRY["tok_pack_blocks"] = _q_tok_pack_blocks()

@@ -87,3 +87,52 @@ def pack_manifest(
         (gstart - bstart).alias("block_off"),
         (gend - gstart).alias("n_in_block"),
     )
+
+
+def materialize_blocks(
+    seq: DataFrame,
+    ctx_len: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Assemble the actual packed training blocks: (source, block_id,
+    n_tokens, tokens) with each block's token array concatenated from
+    its manifest slices in ``block_off`` order. Every block is exactly
+    ``ctx_len`` tokens except each source's final partial block.
+
+    Plan: manifest join back to the sequence table (shuffle on doc_id,
+    the only corpus-sized exchange), per-row ``slice`` of the token
+    array (JVM expr), then a per-block ordered reassembly —
+    ``array_sort(collect_list(struct(block_off, slice)))`` is the same
+    deterministic in-group ordering contract as ``blocks.from_blocks``.
+    Block rows are bounded by ``ctx_len`` tokens, so group state is
+    constant-size regardless of corpus."""
+    man = pack_manifest(seq, ctx_len, source_col, id_col, n_col)
+    j = man.join(
+        seq.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_t")),
+        "doc_id",
+    ).select(
+        "source",
+        "block_id",
+        "block_off",
+        F.expr("slice(_t, doc_start + 1, n_in_block)").alias("_sl"),
+    )
+    return (
+        j.groupBy("source", "block_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("block_off", "_sl"))),
+                    lambda s: s["_sl"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "source",
+            "block_id",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+    )

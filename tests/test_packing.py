@@ -82,6 +82,27 @@ def test_partition_invariance(spark):
     assert a == b
 
 
+def test_materialized_blocks_are_full_and_content_exact(spark):
+    from processor_post_timeseries_spark.operators.packing import materialize_blocks
+
+    rows = [
+        ("a", [1, 2, 3], 3, "s"),
+        ("b", [4, 5, 6, 7, 8], 5, "s"),
+        ("c", [9, 10, 11, 12], 4, "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    out = {r["block_id"]: r for r in materialize_blocks(df, ctx_len=4).collect()}
+    # concatenated stream 1..12 cut every 4 tokens
+    assert [list(out[b]["tokens"]) for b in sorted(out)] == [
+        [1, 2, 3, 4], [5, 6, 7, 8], [9, 10, 11, 12],
+    ]
+    assert all(r["n_tokens"] == 4 for r in out.values())
+    # final partial block kept (not padded, not dropped)
+    out2 = materialize_blocks(df, ctx_len=5).collect()
+    sizes = sorted(r["n_tokens"] for r in out2)
+    assert sizes == [2, 5, 5]
+
+
 def test_zero_token_docs_dropped(spark):
     df = _seq(spark, [("a", 0, "s"), ("b", 3, "s")])
     out = pack_offsets(df, ctx_len=4).collect()
