@@ -63,6 +63,44 @@ def write_admitted_batch(
     admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={int(batch_id)}")
 
 
+def dedup_against_admitted(
+    spark: SparkSession, batch: DataFrame, out_dir: str, text_col: str = "text"
+) -> DataFrame:
+    """Cross-micro-batch exact dedup: drop docs whose content hash was
+    already admitted in ANY earlier batch. The dedup state IS the sink
+    (distinct md5 over ``out_dir``), so it needs no state store, it
+    survives restarts for free, and replaying a failed batch
+    re-derives the identical decision (the overwrite sink then makes
+    the replay a no-op). Also dedups WITHIN the batch (keep min doc_id).
+
+    Scale note: the read-back scans one column of the admitted corpus
+    per micro-batch; at very high admitted volume swap the semi-join
+    source for a compacted hash table or a Bloom-filter sidecar the
+    sink maintains — the decision rule stays identical."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_h").orderBy("doc_id")
+    batch = (
+        batch.withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if os.path.isdir(out_dir):
+        try:
+            seen = (
+                spark.read.parquet(out_dir)
+                .select(F.md5(F.col(text_col)).alias("_h"))
+                .distinct()
+            )
+            batch = batch.join(seen, "_h", "left_anti")
+        except Exception:
+            pass  # empty dir: no admitted docs yet, nothing to exclude
+    return batch.drop("_h")
+
+
 def run_ingest_gate_available_now(
     spark: SparkSession,
     in_dir: str,
@@ -71,6 +109,7 @@ def run_ingest_gate_available_now(
     benchmark: DataFrame,
     n: int = 5,
     min_quality: float = 0.0,
+    dedupe: bool = False,
 ):
     """readStream(documents parquet) -> per-batch gate -> per-batch
     overwrite parquet (``out_dir/batch=<id>``), trigger availableNow.
@@ -84,11 +123,10 @@ def run_ingest_gate_available_now(
     src = spark.readStream.schema(DOC_SCHEMA).parquet(in_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_admitted_batch(
-            gate_batch(batch_df, benchmark, n=n, min_quality=min_quality),
-            out_dir,
-            batch_id,
-        )
+        admitted = gate_batch(batch_df, benchmark, n=n, min_quality=min_quality)
+        if dedupe:
+            admitted = dedup_against_admitted(spark, admitted, out_dir)
+        write_admitted_batch(admitted, out_dir, batch_id)
 
     return (
         src.writeStream.foreachBatch(sink)

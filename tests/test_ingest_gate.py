@@ -64,6 +64,30 @@ def test_streaming_gate_exactly_once_across_restart(spark, tmp_path):
     assert out.filter(F.col("doc_id") == 1).count() == 1
 
 
+def test_streaming_dedupe_across_waves(spark, tmp_path):
+    """dedupe=True drops content-duplicates both within a micro-batch
+    and against everything ANY earlier batch admitted — the dedup state
+    is the sink itself, so it survives restarts with no state store."""
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    bench = _docs(spark, [(900, "q w e r t")])
+
+    # wave 1: docs 1 and 2 share identical text -> only min id admitted
+    _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = run_ingest_gate_available_now(spark, in_dir, out_dir, ck, bench, n=5, dedupe=True)
+    q.awaitTermination()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect()) == [1]
+
+    # wave 2: doc 3 repeats wave-1 content (dropped), doc 4 is new
+    _docs(spark, [(3, "a b c d e f"), (4, "m n o p q r")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = run_ingest_gate_available_now(spark, in_dir, out_dir, ck, bench, n=5, dedupe=True)
+    q2.awaitTermination()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect()) == [1, 4]
+
+
 def test_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a batch that failed mid-write is
     re-delivered with the SAME batch_id. The per-batch overwrite sink
