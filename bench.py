@@ -125,8 +125,11 @@ def main() -> None:
             # saved second scan)
             fused_ingest=False,
             # FAIR-pooled concurrent stages are the default (see
-            # pipeline.py); PTS_BENCH_SERIAL=1 forces serial for A/Bs
-            concurrent_stages=not os.environ.get("PTS_BENCH_SERIAL"),
+            # pipeline.py); PTS_BENCH_SERIAL=1/true forces serial for
+            # A/Bs ("0"/"false" keep the default — raw truthiness would
+            # read PTS_BENCH_SERIAL=0 as serial)
+            concurrent_stages=os.environ.get("PTS_BENCH_SERIAL", "").lower()
+            not in ("1", "true"),
         ),
     )
     rollup_sec = time.perf_counter() - t0

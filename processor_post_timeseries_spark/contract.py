@@ -2755,7 +2755,7 @@ pos AS (
 ), blk AS (
   SELECT doc_id, seg_id, CAST(rp // 64 AS INTEGER) AS block_no,
          MIN(ts_us) AS start_us, MAX(ts_us) + 1 AS end_us,
-         CAST(MIN(i) AS BIGINT) AS start_pos, COUNT(*) AS n
+         CAST(MIN(i) - 1 AS BIGINT) AS start_pos, COUNT(*) AS n
   FROM pos GROUP BY doc_id, seg_id, rp // 64
 )
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, seg_id, block_no,

@@ -292,20 +292,46 @@ def repetition_metrics(
     array, its distinct count, and the max-occurrence count are JVM
     array expressions — zero shuffle, no explode (contrast
     ``ngram_freq_topk``, which aggregates across docs)."""
-    grams = word_ngram_array(F.col(text_col), n)
-    # max occurrence of any gram: for each DISTINCT gram count its
-    # occurrences with a filter inside the row, then array_max
-    occ = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    # max occurrence of any gram = longest equal run in the SORTED gram
+    # array: O(n log n) per row. (The obvious per-distinct-gram count
+    # via filter() is O(distinct × total) — quadratic on exactly the
+    # long repetitive docs this metric exists to catch.) The sorted
+    # array is MATERIALIZED as a projected column first: referencing
+    # an inline array_sort(...) expression from inside a lambda makes
+    # Catalyst re-evaluate the whole sort per element_at — O(n² log n).
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_ngram_array(F.col(text_col), n).alias("_g"),
+    ).select(
+        "doc_id",
+        F.size("_g").alias("_m"),
+        F.size(F.array_distinct("_g")).alias("_nd"),
+        F.array_sort("_g").alias("_s"),
     )
-    m = F.size(grams)
+    m = F.col("_m")
+    run_bounds = F.concat(
+        F.array(F.lit(1)),
+        F.when(
+            m >= 2,
+            F.filter(
+                F.sequence(F.lit(2), m),
+                lambda i: F.element_at(F.col("_s"), i)
+                != F.element_at(F.col("_s"), i - 1),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+        F.array(m + 1),
+    )
+    staged = staged.withColumn("_rb", run_bounds)
+    runs = F.transform(
+        F.sequence(F.lit(1), F.size("_rb") - 1),
+        lambda j: F.element_at(F.col("_rb"), j + 1) - F.element_at(F.col("_rb"), j),
+    )
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            m.alias("n_grams"),
-            F.size(F.array_distinct(grams)).alias("n_distinct"),
-            occ.alias("_occ"),
+        staged.select(
+            "doc_id",
+            F.col("_m").alias("n_grams"),
+            F.col("_nd").alias("n_distinct"),
+            F.array_max(runs).alias("_top"),
         )
         .filter(F.col("n_grams") > 0)
         .select(
@@ -315,8 +341,6 @@ def repetition_metrics(
             F.round(
                 F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), decimals
             ).alias("dup_fraction"),
-            F.round(F.array_max("_occ") / F.col("n_grams"), decimals).alias(
-                "top_share"
-            ),
+            F.round(F.col("_top") / F.col("n_grams"), decimals).alias("top_share"),
         )
     )

@@ -97,8 +97,9 @@ def block_bounds_from_ts_arrays(
     ``{doc}_{start_us}_{end_us}.bin``, the reference's object naming
     with stored-timestamp bounds (``writer.py:90-95``). Returns one row
     per (doc, seg_id, block_no) with (start_us, end_us half-open,
-    start_pos, n, key). Narrow map + one explode; payload encoding is
-    orthogonal (``operators/blocks.py`` codecs apply per slice)."""
+    start_pos 0-based, n, key). Narrow map + one explode; payload
+    encoding is orthogonal (``operators/blocks.py`` codecs apply per
+    slice)."""
     gap = gap_us if isinstance(gap_us, Column) else F.lit(gap_us)
     ts = F.col(ts_col)
     bounds = _boundary_positions(ts, gap)
@@ -130,7 +131,11 @@ def block_bounds_from_ts_arrays(
             F.col("_b.block_no").alias("block_no"),
             F.element_at("_ts", F.col("_b.p0")).alias("start_us"),
             (F.element_at("_ts", F.col("_b.p1") - 1) + F.lit(1)).alias("end_us"),
-            F.col("_b.p0").cast("long").alias("start_pos"),
+            # 0-based, numpy-slice convention — the SAME base as
+            # irregular_to_blocks and NWB_CHUNK_SCHEMA (a consumer doing
+            # tokens[start_pos : start_pos+n] must get the same slice
+            # from every emitter)
+            (F.col("_b.p0") - 1).cast("long").alias("start_pos"),
             (F.col("_b.p1") - F.col("_b.p0")).cast("int").alias("n"),
         )
     )
@@ -215,6 +220,16 @@ def irregular_to_blocks(
                     s0, s1 = int(bounds[sid]), int(bounds[sid + 1])
                     for bno, b0 in enumerate(range(s0, s1, block_size)):
                         b1 = min(b0 + block_size, s1)
+                        if int(ts[b1 - 1]) - int(ts[b0]) > np.iinfo(np.int32).max:
+                            # rebased deltas are stored int32; a slower
+                            # stream with a huge block span would WRAP
+                            # silently — refuse instead (shrink
+                            # block_size or raise gap granularity)
+                            raise ValueError(
+                                f"block span {int(ts[b1-1]) - int(ts[b0])} µs "
+                                f"exceeds int32 ts-delta encoding (doc {doc}); "
+                                f"reduce block_size (= {block_size})"
+                            )
                         rows.append(
                             (
                                 doc,
@@ -378,6 +393,13 @@ def tier_from_ts_arrays(
             ts = np.concatenate([x for x in tss if len(x)])
             nz = lens > 0
             doc_idx = np.repeat(np.flatnonzero(nz), lens[nz])
+            # enforce the documented precondition: timestamps sorted
+            # within each doc (boundary detection silently fragments
+            # windows otherwise)
+            unsorted = (np.diff(ts) < 0) & (np.diff(doc_idx) == 0)
+            if unsorted.any():
+                bad = pdf["doc_id"].to_numpy()[doc_idx[np.flatnonzero(unsorted)[0]]]
+                raise ValueError(f"timestamps not sorted within doc {bad!r}")
             w = ts // window_us
             change = (np.diff(doc_idx) != 0) | (np.diff(w) != 0)
             starts = np.concatenate(([0], np.flatnonzero(change) + 1))

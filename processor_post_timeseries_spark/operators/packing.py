@@ -49,11 +49,11 @@ def pack_offsets(
             F.col(n_col).cast("long").alias("n_tok"),
             off.alias("offset"),
         )
-        .withColumn("first_block", (F.col("offset") / ctx_len).cast("long"))
-        .withColumn(
-            "last_block",
-            ((F.col("offset") + F.col("n_tok") - 1) / ctx_len).cast("long"),
-        )
+        # integer `div`, not double `/`: offsets at trillion-token scale
+        # pass 2^53 and a through-a-double quotient can land one block
+        # off (the same exactness rule interval.py/resample.py follow)
+        .withColumn("first_block", F.expr(f"offset div {ctx_len}"))
+        .withColumn("last_block", F.expr(f"(offset + n_tok - 1) div {ctx_len}"))
     )
 
 

@@ -80,9 +80,12 @@ def mixture_rates(
         rate_s = p_s * T / n_s          (1.0 for the binding source)
 
     Output: (source, n_tok_avail, target_share, n_tok_take, rate) —
-    one row per source present in the corpus; untargeted sources get
-    share 0/rate 0 (dropped from the mixture). Feed ``rate`` into
-    ``hash_sample`` for a deterministic, partition-invariant draw.
+    one row per source present in the corpus OR named in the targets;
+    untargeted sources get share 0/rate 0 (dropped from the mixture),
+    and a targeted source with NO corpus tokens drives T to 0 (the
+    requested distribution is unachievable — surfaced, never silently
+    renormalized). Feed ``rate`` into ``hash_sample`` for a
+    deterministic, partition-invariant draw.
 
     Plan: one partial-aggregated count per source (tiny), a driver-side
     min over |sources| rows, arithmetic on the same tiny frame. Nothing
@@ -94,9 +97,13 @@ def mixture_rates(
     tgt = spark.createDataFrame(
         [(s, float(p)) for s, p in targets.items()], "source string, target_share double"
     )
-    j = avail.join(tgt, "source", "left").select(
+    # FULL outer: a targeted source ABSENT from the corpus must surface
+    # as n_tok_avail = 0 and drive T to 0 (the target mixture is
+    # unachievable without it) — a left join would silently drop it and
+    # report a corpus that violates the requested distribution
+    j = avail.join(tgt, "source", "full_outer").select(
         "source",
-        "n_tok_avail",
+        F.coalesce("n_tok_avail", F.lit(0)).cast("long").alias("n_tok_avail"),
         F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
     )
     # binding constraint: smallest n_s / p_s over targeted sources.
@@ -113,7 +120,7 @@ def mixture_rates(
             "target_share",
             F.floor(F.col("target_share") * F.col("_T")).cast("long").alias("n_tok_take"),
             F.round(
-                F.when(F.col("target_share") > 0,
+                F.when((F.col("target_share") > 0) & (F.col("n_tok_avail") > 0),
                        F.least(F.lit(1.0),
                                F.col("target_share") * F.col("_T") / F.col("n_tok_avail")))
                 .otherwise(F.lit(0.0)),

@@ -88,24 +88,34 @@ def span_dup_report(
     """Per-doc span-duplication summary: (doc_id, n_windows,
     n_dup_windows, dup_fraction). Docs shorter than ``window`` have no
     windows and are absent (nothing to test — the decontam convention)."""
-    w = _window_hashes(docs, window, stride, text_col, id_col)
-    shared = (
-        w.select("whash", "doc_id")
-        .distinct()
-        .groupBy("whash")
-        .agg(F.count("*").alias("_nd"))
-        .filter(F.col("_nd") > 1)
-        .select("whash")
+    from pyspark.sql.window import Window
+
+    # ONE scan of the window hashes: reduce to per-(hash, doc) counts
+    # first (one shuffle over a frame already much smaller than the
+    # corpus), derive each hash's distinct-doc count with an analytic
+    # window over that reduced frame, then roll up per doc. The naive
+    # three-branch plan (sizes/shared/flagged each reading the hash
+    # frame) recomputes the strided md5 scan three times.
+    wd = (
+        _window_hashes(docs, window, stride, text_col, id_col)
+        .groupBy("whash", "doc_id")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_nd", F.count("*").over(Window.partitionBy("whash")))
     )
-    flagged = w.join(shared, "whash").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_windows")
-    )
-    sizes = w.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
-    return sizes.join(flagged, "doc_id", "left").select(
-        "doc_id",
-        "n_windows",
-        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
-        F.round(
-            F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), decimals
-        ).alias("dup_fraction"),
+    return (
+        wd.groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("n_windows"),
+            F.sum(F.when(F.col("_nd") > 1, F.col("_c")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), decimals).alias(
+                "dup_fraction"
+            ),
+        )
     )

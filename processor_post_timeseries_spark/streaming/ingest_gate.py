@@ -64,7 +64,11 @@ def write_admitted_batch(
 
 
 def dedup_against_admitted(
-    spark: SparkSession, batch: DataFrame, out_dir: str, text_col: str = "text"
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    text_col: str = "text",
 ) -> DataFrame:
     """Cross-micro-batch exact dedup: drop docs whose content hash was
     already admitted in ANY earlier batch. The dedup state IS the sink
@@ -73,12 +77,20 @@ def dedup_against_admitted(
     re-derives the identical decision (the overwrite sink then makes
     the replay a no-op). Also dedups WITHIN the batch (keep min doc_id).
 
+    ``batch_id``'s OWN partition is excluded from the read-back: a
+    replayed batch whose previous attempt partially committed files
+    into ``out_dir/batch=<id>`` would otherwise see its own rows,
+    self-exclude them, and the subsequent overwrite would erase them —
+    permanent loss. Excluding the current partition also keeps the scan
+    from listing files the same job is about to overwrite.
+
     Scale note: the read-back scans one column of the admitted corpus
     per micro-batch; at very high admitted volume swap the semi-join
     source for a compacted hash table or a Bloom-filter sidecar the
     sink maintains — the decision rule stays identical."""
     import os
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("_h").orderBy("doc_id")
@@ -92,12 +104,17 @@ def dedup_against_admitted(
         try:
             seen = (
                 spark.read.parquet(out_dir)
+                .filter(F.col("batch") != int(batch_id))
                 .select(F.md5(F.col(text_col)).alias("_h"))
                 .distinct()
             )
             batch = batch.join(seen, "_h", "left_anti")
-        except Exception:
-            pass  # empty dir: no admitted docs yet, nothing to exclude
+        except AnalysisException:
+            # dir exists but holds no readable parquet yet (first batch):
+            # nothing admitted, nothing to exclude. Real storage errors
+            # are NOT caught — silently skipping dedup would let
+            # duplicates into the lake.
+            pass
     return batch.drop("_h")
 
 
@@ -125,7 +142,7 @@ def run_ingest_gate_available_now(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         admitted = gate_batch(batch_df, benchmark, n=n, min_quality=min_quality)
         if dedupe:
-            admitted = dedup_against_admitted(spark, admitted, out_dir)
+            admitted = dedup_against_admitted(spark, admitted, out_dir, batch_id)
         write_admitted_batch(admitted, out_dir, batch_id)
 
     return (

@@ -104,6 +104,19 @@ class TestSampling:
         total = sum(takes.values())
         assert takes["a"] / total == 0.5 and takes["b"] / total == 0.5
 
+    def test_mixture_targeted_absent_source_drives_T_to_zero(self, spark):
+        from processor_post_timeseries_spark.operators.sampling import mixture_rates
+
+        df = spark.createDataFrame(
+            [("d1", 1000, "a")], "doc_id string, n_tok int, source string"
+        )
+        out = {r["source"]: r for r in mixture_rates(df, {"a": 0.5, "ghost": 0.5}).collect()}
+        # 'ghost' has zero tokens: the target mixture is unachievable,
+        # so NOTHING is taken — never a silent renormalization to 100% a
+        assert set(out) == {"a", "ghost"}
+        assert out["ghost"]["n_tok_avail"] == 0 and out["ghost"]["rate"] == 0.0
+        assert out["a"]["n_tok_take"] == 0 and out["a"]["rate"] == 0.0
+
     def test_apply_mixture_edges_and_determinism(self, spark):
         from processor_post_timeseries_spark.operators.sampling import (
             apply_mixture,

@@ -88,6 +88,30 @@ def test_streaming_dedupe_across_waves(spark, tmp_path):
     assert sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect()) == [1, 4]
 
 
+def test_dedupe_replay_does_not_self_exclude(spark, tmp_path):
+    """A replayed batch whose previous attempt PARTIALLY committed into
+    its own batch=<id> partition must not treat those rows as 'already
+    admitted' (that would drop them and the overwrite would erase them
+    for good). The read-back excludes the current batch partition."""
+    from processor_post_timeseries_spark.streaming.ingest_gate import (
+        dedup_against_admitted,
+    )
+
+    out_dir = str(tmp_path / "out")
+    batch = _docs(spark, [(1, "a b c d e f"), (2, "g h i j k l")])
+    # earlier batch admitted doc 9 with DIFFERENT content
+    write_admitted_batch(_docs(spark, [(9, "z z z z z")]), out_dir, 3)
+    # failed attempt of batch 7 already flushed doc 1
+    write_admitted_batch(batch.filter(F.col("doc_id") == 1), out_dir, 7)
+    # replay of batch 7: doc 1 must survive its own partial commit
+    surv = dedup_against_admitted(spark, batch, out_dir, batch_id=7)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [1, 2]
+    write_admitted_batch(surv, out_dir, 7)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    ) == [1, 2, 9]
+
+
 def test_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a batch that failed mid-write is
     re-delivered with the SAME batch_id. The per-batch overwrite sink

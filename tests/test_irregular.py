@@ -97,20 +97,32 @@ def test_payload_blocks_roundtrip_and_kernel_agrees_with_sql_bounds(spark):
     df = _seq(spark, rows)
     blocks = irregular_to_blocks(df, gap_us=4000, block_size=7)
     # the numpy kernel's (seg, block, bounds) must equal the JVM-exprs path
-    a = sorted(
-        (r["doc_id"], r["seg_id"], r["block_no"], r["start_us"], r["end_us"], r["n"], r["key"])
-        for r in blocks.collect()
-    )
+    cols = ("doc_id", "seg_id", "block_no", "start_us", "end_us", "start_pos", "n", "key")
+    a = sorted(tuple(r[c] for c in cols) for r in blocks.collect())
     b = sorted(
-        (r["doc_id"], r["seg_id"], r["block_no"], r["start_us"], r["end_us"], r["n"], r["key"])
+        tuple(r[c] for c in cols)
         for r in block_bounds_from_ts_arrays(df, gap_us=4000, block_size=7).collect()
     )
-    assert a == b
+    assert a == b  # including start_pos: both emitters are 0-based
     # decode + reassemble: tokens AND timestamps byte-identical
     back = {r["doc_id"]: r for r in irregular_from_blocks(blocks).collect()}
     for doc_id, toks, ts, _src in rows:
         assert list(back[doc_id]["tokens"]) == toks
         assert list(back[doc_id]["ts"]) == ts
+
+
+def test_payload_blocks_refuse_int32_span_overflow(spark):
+    # a block whose rebased ts deltas exceed int32 must raise, never wrap
+    big = 3_000_000_000  # > 2^31-1 µs within one block
+    df = _seq(spark, [("d1", [1, 2], [0, big], "s")])
+    with pytest.raises(Exception, match="int32"):
+        irregular_to_blocks(df, gap_us=big + 1, block_size=2).collect()
+
+
+def test_tier_kernel_rejects_unsorted_ts(spark):
+    df = _seq(spark, [("d1", [1, 2, 3], [100, 50, 200], "s")])
+    with pytest.raises(Exception, match="not sorted"):
+        tier_from_ts_arrays(df, window_us=1000).collect()
 
 
 def test_rate_inference_median_semantics(spark):
