@@ -71,7 +71,27 @@ def _dedup_minhash_lsh64(spark, sf_dir):
     return lsh_candidate_pairs(spark.table("documents"), 16, 4, hash_fn="xxh64")
 
 
-EXTRA_BENCH = {"dedup_minhash_lsh64": _dedup_minhash_lsh64}
+def _dedup_components64(spark, sf_dir):
+    """Production duplicate-clustering path: xxh64 candidate pairs (the
+    default family) -> connected components (driver union-find under the
+    edge threshold). The oracle variant (dedup_components) pays the md5
+    pair generation DuckDB replay requires; this measures what a real
+    pipeline runs."""
+    from processor_post_timeseries_spark.contract import load_views
+    from processor_post_timeseries_spark.operators.dedup import (
+        duplicate_components,
+        lsh_candidate_pairs,
+    )
+
+    load_views(spark, sf_dir)
+    pairs = lsh_candidate_pairs(spark.table("documents"), 16, 4)
+    return duplicate_components(pairs)
+
+
+EXTRA_BENCH = {
+    "dedup_minhash_lsh64": _dedup_minhash_lsh64,
+    "dedup_components64": _dedup_components64,
+}
 
 
 def main() -> None:
