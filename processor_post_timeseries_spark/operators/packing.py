@@ -5,14 +5,22 @@ cut the stream every ``ctx_len`` tokens; a document may straddle block
 boundaries). The planning op every training-data pipeline needs between
 "curated corpus" and "batched examples".
 
-Spark-first shape: the only wide operation is ONE per-source window
-cumsum (exclusive running total of ``n_tok`` ordered by ``doc_id``) —
-the same per-key sort any deterministic packing must pay. Block spans
-then come from integer arithmetic, and the per-block manifest is a JVM
-``sequence`` explode (a doc touches ``ceil`` of its span, almost always
-1-2 blocks). No global ordering: packing is per ``source``, which is
-both the scalable choice (parallelism = sources × AQE splits) and the
-semantically right one (mixtures are composed per-source upstream — see
+Spark-first shape: the wide operation is a TWO-PHASE distributed prefix
+sum. A plain ``Window.partitionBy(source)`` cumsum puts an entire
+source in ONE task (Spark never splits a window partition key), which
+serializes a trillion-token single-source corpus. Instead each doc is
+assigned an ORDER-PRESERVING bucket of its ``doc_id`` (string prefix,
+or a min/max-ranged integer bucket), the cumsum window runs per
+``(source, bucket)`` — parallelism = buckets, each task bounded — and
+the cross-bucket base offsets come from a per-bucket token-count table
+(|sources| × |buckets| rows, broadcast back). Because the bucket is a
+monotone function of ``doc_id``, sorting by ``(bucket, doc_id)`` IS
+sorting by ``doc_id``: the result is bit-identical to the single-window
+semantics at any parallelism. Block spans then come from integer
+arithmetic, and the per-block manifest is a JVM ``sequence`` explode (a
+doc touches ``ceil`` of its span, almost always 1-2 blocks). No global
+ordering: packing is per ``source``, which is the semantically right
+unit (mixtures are composed per-source upstream — see
 ``sampling.hash_sample`` for rate control).
 """
 
@@ -23,31 +31,113 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def order_bucket(
+    df: DataFrame, id_col: str, prefix_len: int = 4, num_buckets: int = 4096
+) -> tuple[DataFrame, str]:
+    """Attach an order-preserving bucket column ``_bkt`` for ``id_col``:
+    sorting by ``(_bkt, id)`` equals sorting by ``id`` alone, so a
+    per-key window computation can be split into per-``(key, _bkt)``
+    windows plus a tiny cross-bucket combine — the distributed
+    prefix-sum primitive ``pack_offsets`` / ``stratified_sample`` build
+    on.
+
+    * string ids: the first ``prefix_len`` characters (a lexicographic
+      prefix orders consistently with the full string). Bucket count —
+      and thus parallelism — follows the id alphabet; zero-padded or
+      uuid-ish ids spread uniformly, a shared long constant prefix
+      degrades toward one bucket (raise ``prefix_len``).
+    * integral ids: ``(id - min) div width`` with ``width`` sized from
+      the (min, max) range for ~``num_buckets`` buckets — monotone and
+      overflow-safe at any id magnitude. The 1-row min/max aggregate is
+      broadcast in-plan (no driver collect).
+
+    Returns (df_with_bucket, "_bkt")."""
+    dtype = dict(df.dtypes)[id_col]
+    if dtype == "string":
+        return df.withColumn("_bkt", F.substring(F.col(id_col), 1, prefix_len)), "_bkt"
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        mm = df.agg(
+            F.min(id_col).cast("long").alias("_mn"),
+            F.max(id_col).cast("long").alias("_mx"),
+        )
+        width = F.greatest(
+            ((F.col("_mx") - F.col("_mn")) / F.lit(num_buckets)).cast("long") + 1,
+            F.lit(1),
+        )
+        out = (
+            df.crossJoin(F.broadcast(mm))
+            .withColumn(
+                "_bkt", ((F.col(id_col).cast("long") - F.col("_mn")) / width).cast("long")
+            )
+            .drop("_mn", "_mx")
+        )
+        return out, "_bkt"
+    raise TypeError(
+        f"order_bucket: unsupported id type {dtype!r} for {id_col!r} "
+        "(need string or integral for an order-preserving bucket)"
+    )
+
+
 def pack_offsets(
     seq: DataFrame,
     ctx_len: int,
     source_col: str = "source",
     id_col: str = "doc_id",
     n_col: str = "n_tok",
+    bucket_prefix_len: int = 4,
 ) -> DataFrame:
     """Per-doc packed placement: (source, doc_id, n_tok, offset,
     first_block, last_block). ``offset`` is the exclusive running sum of
     token counts within the source (doc_id order); blocks are
     ``ctx_len``-token chunks of the concatenated stream. Zero-token docs
-    contribute nothing and are dropped (they have no placement)."""
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = (F.sum(n_col).over(w) - F.col(n_col)).cast("long")
-    return (
-        seq.filter(F.col(n_col) > 0)
-        .select(
+    contribute nothing and are dropped (they have no placement).
+
+    Two-phase distributed cumsum (module docstring): phase 1 is a
+    per-(source, bucket) exclusive window sum — each task owns one
+    bucket, never a whole source; phase 2 derives each bucket's base
+    offset from the per-bucket totals (a tiny frame: the cross-bucket
+    window runs over |buckets| ROWS, not corpus rows) and broadcasts it
+    back. Values are identical to the naive per-source window at any
+    partitioning."""
+    base, bkt = order_bucket(
+        seq.filter(F.col(n_col) > 0).select(
             F.col(source_col).alias("source"),
             F.col(id_col).alias("doc_id"),
             F.col(n_col).cast("long").alias("n_tok"),
-            off.alias("offset"),
+        ),
+        "doc_id",
+        prefix_len=bucket_prefix_len,
+    )
+    w_local = (
+        Window.partitionBy("source", bkt)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_off = (F.sum("n_tok").over(w_local) - F.col("n_tok")).cast("long")
+    # per-bucket totals: |sources|·|buckets| rows — the ONLY place a
+    # per-source ordered scan happens, and it is over bucket summaries
+    w_bkt = (
+        Window.partitionBy("source")
+        .orderBy(bkt)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = (
+        base.groupBy("source", bkt)
+        .agg(F.sum("n_tok").alias("_bsum"))
+        .select(
+            "source",
+            bkt,
+            (F.sum("_bsum").over(w_bkt) - F.col("_bsum")).cast("long").alias("_base"),
+        )
+    )
+    return (
+        base.withColumn("_loc", local_off)
+        .join(F.broadcast(bases), ["source", bkt])
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            (F.col("_base") + F.col("_loc")).alias("offset"),
         )
         # integer `div`, not double `/`: offsets at trillion-token scale
         # pass 2^53 and a through-a-double quotient can land one block

@@ -7,10 +7,15 @@ content hashes instead, so the same corpus always yields the same
 sample regardless of partitioning, cluster size, or Spark version.
 
 * ``stratified_sample`` — exact per-stratum quota: the ceil(n·num/den)
-  rows with the smallest ``md5(id)`` per stratum. One shuffle on the
-  stratum key; the per-stratum sort is the window sort. Quota uses
-  integer arithmetic (``(n·num + den − 1) div den``) so the oracle's
-  arithmetic is bit-identical (no float ceil drift).
+  rows with the smallest ``md5(id)`` per stratum. Two-phase distributed
+  rank: a bare per-stratum window sort would pin each stratum in ONE
+  task (a corpus with few strata serializes), so rows are bucketed by
+  an md5-hex PREFIX — uniform by construction, no skew possible — the
+  rank window runs per ``(stratum, bucket)``, and each bucket's rank
+  base comes from a tiny per-bucket count table broadcast back. Exact
+  same rank values as the single-window form at any parallelism. Quota
+  uses integer arithmetic (``(n·num + den − 1) div den``) so the
+  oracle's arithmetic is bit-identical (no float ceil drift).
 * ``hash_sample`` — stateless Bernoulli-style: keep rows whose hash
   bucket falls under the rate. Zero shuffles — a pure filter that
   pushes into the scan — and stable under corpus growth (a row's
@@ -30,21 +35,50 @@ def stratified_sample(
     id_col: str,
     num: int,
     den: int,
+    bucket_prefix_len: int = 2,
 ) -> DataFrame:
     """Exact deterministic stratified sample of num/den per stratum:
     (strata, id, sample_rank) for the quota rows with the smallest
     (md5(id), id) per stratum. Quota = ceil(stratum_size * num / den),
-    so every non-empty stratum contributes at least one row."""
-    w_rank = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    so every non-empty stratum contributes at least one row.
+
+    Two-phase distributed rank (module docstring): the rank order is
+    ``(md5(id), id)`` and the bucket is the first ``bucket_prefix_len``
+    hex chars of that same md5 — a lexicographic prefix, so per-bucket
+    ``row_number`` plus the count of all lower buckets IS the global
+    per-stratum rank. md5 prefixes are uniform, so the 16^len buckets
+    split every stratum evenly regardless of data skew; the cross-bucket
+    combine windows over |strata|·|buckets| summary rows only."""
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(strata_col), F.col(id_col), h.alias("_h")
+    ).withColumn("_bkt", F.substring("_h", 1, bucket_prefix_len))
+    w_local = Window.partitionBy(strata_col, "_bkt").orderBy("_h", id_col)
+    # per-(stratum, bucket) counts -> each bucket's rank base (count of
+    # all lexicographically-lower buckets) and the stratum total for the
+    # quota — both from ONE tiny aggregate, broadcast back
+    w_bkt = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(strata_col)
+    bases = (
+        base.groupBy(strata_col, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            strata_col,
+            "_bkt",
+            (F.sum("_c").over(w_bkt) - F.col("_c")).cast("long").alias("_base"),
+            F.sum("_c").over(w_all).cast("long").alias("_n"),
+        )
+    )
     return (
-        df.select(strata_col, id_col)
-        .withColumn("sample_rank", F.row_number().over(w_rank))
-        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        base.withColumn("_lr", F.row_number().over(w_local))
+        .join(F.broadcast(bases), [strata_col, "_bkt"])
+        .withColumn("sample_rank", (F.col("_base") + F.col("_lr")).cast("int"))
         .filter(F.col("sample_rank") <= F.expr(f"(_n * {num} + {den - 1}) div {den}"))
-        .drop("_n")
+        .select(strata_col, id_col, "sample_rank")
     )
 
 
@@ -109,8 +143,13 @@ def mixture_rates(
     # binding constraint: smallest n_s / p_s over targeted sources.
     # |sources| rows — the agg is a scalar, kept as a cross-joined
     # 1-row frame so the whole op stays one lazy plan (no collect)
+    # coalesce: an EMPTY targets dict (or all-zero shares) leaves the
+    # min over zero rows NULL — surface a consistent "take nothing"
+    # plan (n_tok_take 0, rate 0.0) instead of NULL takes + 0.0 rates
     t_total = j.filter(F.col("target_share") > 0).agg(
-        F.min(F.col("n_tok_avail") / F.col("target_share")).alias("_T")
+        F.coalesce(
+            F.min(F.col("n_tok_avail") / F.col("target_share")), F.lit(0.0)
+        ).alias("_T")
     )
     return (
         j.crossJoin(F.broadcast(t_total))

@@ -86,6 +86,45 @@ class TestSampling:
         df = spark.createDataFrame([("a", 1)], "grp string, id long")
         assert stratified_sample(df, "grp", "id", num=1, den=100).count() == 1
 
+    def test_stratified_rank_window_is_bucketed(self, spark):
+        """100-TB guard (VERDICT r3 scale-killer #2): the corpus-sized
+        row_number window must partition by (stratum, _bkt) — md5-prefix
+        buckets — never the stratum alone."""
+        import re
+
+        df = spark.createDataFrame(
+            [("g", i) for i in range(100)], "grp string, id long"
+        )
+        out = stratified_sample(df, "grp", "id", num=1, den=4)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        rank_specs = [
+            s
+            for s in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+        ]
+        assert rank_specs and all("_bkt" in s for s in rank_specs), rank_specs
+
+    def test_stratified_rank_matches_single_window_semantics(self, spark):
+        """sample_rank values (not just membership) equal the naive
+        per-stratum (md5, id) rank at any bucket granularity."""
+        import hashlib
+
+        rows = [("a", i) for i in range(40)] + [("b", i) for i in range(7)]
+        df = spark.createDataFrame(rows, "grp string, id long")
+        got = {
+            (r["grp"], r["id"]): r["sample_rank"]
+            for r in stratified_sample(df, "grp", "id", num=1, den=2).collect()
+        }
+        for grp in ("a", "b"):
+            ids = [i for g, i in rows if g == grp]
+            order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            quota = (len(ids) + 1) // 2
+            expect = {(grp, i): rank + 1 for rank, i in enumerate(order[:quota])}
+            for k, v in expect.items():
+                assert got[k] == v
+        assert len(got) == (40 + 1) // 2 + (7 + 1) // 2
+
     def test_mixture_rates_binding_source_and_exact_shares(self, spark):
         from processor_post_timeseries_spark.operators.sampling import mixture_rates
 

@@ -103,6 +103,49 @@ def test_materialized_blocks_are_full_and_content_exact(spark):
     assert sizes == [2, 5, 5]
 
 
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_no_single_source_window_in_plan(spark):
+    """The 100-TB guard: the corpus-sized cumsum window must partition by
+    (source, _bkt), never by source alone — a bare per-source window
+    pins a whole source in one task (VERDICT r3 scale-killer #1)."""
+    import re
+
+    rows = [(f"d{i:04d}", 1 + i % 9, "only_source") for i in range(300)]
+    out = pack_offsets(_seq(spark, rows), ctx_len=64)
+    plan = _plan(out)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window operators in the packing plan"
+    assert all("_bkt" in s for s in specs), f"un-bucketed window spec: {specs}"
+
+
+def test_single_source_matches_naive_window(spark):
+    """Bit-identical to the naive per-source window semantics on a
+    one-source corpus (the shape the two-phase prefix sum parallelizes)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"d{rng.randrange(10**6):07d}x{i}", 1 + rng.randrange(50), "s") for i in range(500)]
+    got = {r["doc_id"]: r["offset"] for r in pack_offsets(_seq(spark, rows), 32).collect()}
+    run = 0
+    for doc, n, _s in sorted(rows):
+        assert got[doc] == run
+        run += n
+
+
+def test_integral_doc_ids_bucket_and_pack(spark):
+    """order_bucket's integral path: min/max-ranged buckets preserve
+    numeric order (string prefixes would not: '10' < '9')."""
+    rows = [(i, 3, "s") for i in (1, 9, 10, 11, 100, 1000, 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int, source string")
+    out = sorted(pack_offsets(df, 4).collect(), key=lambda r: r["doc_id"])
+    assert [r["offset"] for r in out] == [0, 3, 6, 9, 12, 15, 18]
+
+
 def test_zero_token_docs_dropped(spark):
     df = _seq(spark, [("a", 0, "s"), ("b", 3, "s")])
     out = pack_offsets(df, ctx_len=4).collect()
