@@ -50,6 +50,17 @@ def gate_batch(
     )
 
 
+HASH_INDEX_SUBDIR = "_hash_index"
+HASH_PREFIX_LEN = 2  # 16^2 = 256 prefix partitions
+
+
+def _index_path(out_dir: str) -> str:
+    # underscore-prefixed: Hadoop path filters treat it as metadata, so
+    # readers scanning ``out_dir`` as one partitioned dataset never see
+    # index files mixed into the lake
+    return f"{out_dir.rstrip('/')}/{HASH_INDEX_SUBDIR}"
+
+
 def write_admitted_batch(
     admitted: DataFrame, out_dir: str, batch_id: int
 ) -> None:
@@ -63,6 +74,60 @@ def write_admitted_batch(
     admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={int(batch_id)}")
 
 
+def write_hash_index_batch(
+    admitted: DataFrame, out_dir: str, batch_id: int, text_col: str = "text"
+) -> None:
+    """Append this batch's content hashes to the admitted-hash index:
+    ``out_dir/_hash_index/batch=<id>/_hp=<xx>/`` holding ONLY the
+    32-char md5 (``_h``), partitioned by its first ``HASH_PREFIX_LEN``
+    hex chars. The index is what keeps cross-batch dedup bounded: the
+    per-batch anti-join reads 32-byte hashes (pruned by prefix), never
+    the document lake. Same idempotent per-batch overwrite contract as
+    ``write_admitted_batch`` — a replayed batch rewrites its own index
+    partition."""
+    idx = (
+        admitted.select(F.md5(F.col(text_col)).alias("_h"))
+        .distinct()
+        .withColumn("_hp", F.substring("_h", 1, HASH_PREFIX_LEN))
+    )
+    idx.write.partitionBy("_hp").mode("overwrite").parquet(
+        f"{_index_path(out_dir)}/batch={int(batch_id)}"
+    )
+
+
+def _read_admitted_hashes(spark: SparkSession, out_dir: str, batch_id: int):
+    """Index rows admitted by every batch EXCEPT ``batch_id`` (a replayed
+    batch must not self-exclude against its own partial commit), or None
+    when no index exists yet. Existence is probed by ATTEMPTING the read
+    scheme-agnostically — an ``os.path.isdir`` guard would silently skip
+    dedup on s3://, hdfs:// etc. (always-False), exactly the silent
+    failure this gate forbids; only the two 'nothing there yet' error
+    conditions are swallowed, real storage errors propagate."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.parquet(_index_path(out_dir))
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: "")() or str(e)
+        if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
+            return None
+        raise
+    return idx.filter(F.col("batch") != int(batch_id))
+
+
+def rebuild_hash_index(spark: SparkSession, out_dir: str, text_col: str = "text") -> None:
+    """One-time migration for lakes written before the index existed:
+    derive every batch's index partition from its admitted documents.
+    The per-batch loop is over the bounded batch count (driver-side
+    metadata), not rows."""
+    lake = spark.read.parquet(out_dir)
+    for r in lake.select("batch").distinct().collect():
+        b = int(r["batch"])
+        write_hash_index_batch(
+            lake.filter(F.col("batch") == b), out_dir, b, text_col=text_col
+        )
+
+
 def dedup_against_admitted(
     spark: SparkSession,
     batch: DataFrame,
@@ -71,26 +136,24 @@ def dedup_against_admitted(
     text_col: str = "text",
 ) -> DataFrame:
     """Cross-micro-batch exact dedup: drop docs whose content hash was
-    already admitted in ANY earlier batch. The dedup state IS the sink
-    (distinct md5 over ``out_dir``), so it needs no state store, it
-    survives restarts for free, and replaying a failed batch
-    re-derives the identical decision (the overwrite sink then makes
-    the replay a no-op). Also dedups WITHIN the batch (keep min doc_id).
+    already admitted in ANY earlier batch. The dedup state is the
+    append-only admitted-hash INDEX the sink maintains
+    (``write_hash_index_batch``), so per-batch cost is bounded by index
+    hashes — 32 bytes/doc, prefix-pruned — instead of re-reading the
+    whole document lake each tick (the r3 scale defect). It needs no
+    state store, survives restarts for free, and replaying a failed
+    batch re-derives the identical decision (the overwrite sinks then
+    make the replay a no-op). Also dedups WITHIN the batch (keep min
+    doc_id).
 
-    ``batch_id``'s OWN partition is excluded from the read-back: a
-    replayed batch whose previous attempt partially committed files
-    into ``out_dir/batch=<id>`` would otherwise see its own rows,
-    self-exclude them, and the subsequent overwrite would erase them —
-    permanent loss. Excluding the current partition also keeps the scan
-    from listing files the same job is about to overwrite.
+    ``batch_id``'s OWN index partition is excluded from the read-back: a
+    replayed batch whose previous attempt committed its index before
+    dying would otherwise see its own hashes, self-exclude every row,
+    and the subsequent overwrite would erase them — permanent loss.
 
-    Scale note: the read-back scans one column of the admitted corpus
-    per micro-batch; at very high admitted volume swap the semi-join
-    source for a compacted hash table or a Bloom-filter sidecar the
-    sink maintains — the decision rule stays identical."""
-    import os
-
-    from pyspark.errors import AnalysisException
+    Prefix pruning: the batch's distinct hash prefixes (≤ 256 values, a
+    bounded driver-side collect) become a partition filter on the index
+    scan — a small batch touches only its prefixes' directories."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("_h").orderBy("doc_id")
@@ -100,21 +163,21 @@ def dedup_against_admitted(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if os.path.isdir(out_dir):
-        try:
-            seen = (
-                spark.read.parquet(out_dir)
-                .filter(F.col("batch") != int(batch_id))
-                .select(F.md5(F.col(text_col)).alias("_h"))
-                .distinct()
+    seen = _read_admitted_hashes(spark, out_dir, batch_id)
+    if seen is not None:
+        prefixes = [
+            r["_hp"]
+            for r in batch.select(
+                F.substring("_h", 1, HASH_PREFIX_LEN).alias("_hp")
             )
-            batch = batch.join(seen, "_h", "left_anti")
-        except AnalysisException:
-            # dir exists but holds no readable parquet yet (first batch):
-            # nothing admitted, nothing to exclude. Real storage errors
-            # are NOT caught — silently skipping dedup would let
-            # duplicates into the lake.
-            pass
+            .distinct()
+            .collect()
+        ]
+        batch = batch.join(
+            seen.filter(F.col("_hp").isin(prefixes)).select("_h"),
+            "_h",
+            "left_anti",
+        )
     return batch.drop("_h")
 
 
@@ -144,6 +207,13 @@ def run_ingest_gate_available_now(
         if dedupe:
             admitted = dedup_against_admitted(spark, admitted, out_dir, batch_id)
         write_admitted_batch(admitted, out_dir, batch_id)
+        if dedupe:
+            # maintain the admitted-hash index the NEXT batch dedups
+            # against; order vs the data write is immaterial — a crash
+            # between the two replays the batch, which recomputes the
+            # same admitted set (its decisions come from OTHER batches'
+            # index partitions) and overwrites both
+            write_hash_index_batch(admitted, out_dir, batch_id)
 
     return (
         src.writeStream.foreachBatch(sink)

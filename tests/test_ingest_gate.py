@@ -95,14 +95,19 @@ def test_dedupe_replay_does_not_self_exclude(spark, tmp_path):
     for good). The read-back excludes the current batch partition."""
     from processor_post_timeseries_spark.streaming.ingest_gate import (
         dedup_against_admitted,
+        write_hash_index_batch,
     )
 
     out_dir = str(tmp_path / "out")
     batch = _docs(spark, [(1, "a b c d e f"), (2, "g h i j k l")])
     # earlier batch admitted doc 9 with DIFFERENT content
-    write_admitted_batch(_docs(spark, [(9, "z z z z z")]), out_dir, 3)
-    # failed attempt of batch 7 already flushed doc 1
-    write_admitted_batch(batch.filter(F.col("doc_id") == 1), out_dir, 7)
+    prev = _docs(spark, [(9, "z z z z z")])
+    write_admitted_batch(prev, out_dir, 3)
+    write_hash_index_batch(prev, out_dir, 3)
+    # failed attempt of batch 7 already flushed doc 1 — data AND index
+    partial = batch.filter(F.col("doc_id") == 1)
+    write_admitted_batch(partial, out_dir, 7)
+    write_hash_index_batch(partial, out_dir, 7)
     # replay of batch 7: doc 1 must survive its own partial commit
     surv = dedup_against_admitted(spark, batch, out_dir, batch_id=7)
     assert sorted(r["doc_id"] for r in surv.collect()) == [1, 2]
@@ -110,6 +115,65 @@ def test_dedupe_replay_does_not_self_exclude(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out_dir).collect()
     ) == [1, 2, 9]
+
+
+def test_dedup_state_is_the_index_not_the_lake(spark, tmp_path):
+    """Bounded-state contract (VERDICT r3 scale defect #3): per-batch
+    dedup decisions come from out_dir/_hash_index ONLY. Proven
+    behaviorally — delete every admitted DATA partition, keep the
+    index, and a later batch with duplicate content is still excluded
+    (a lake re-read would find nothing and admit it)."""
+    import shutil
+    from pathlib import Path
+
+    from processor_post_timeseries_spark.streaming.ingest_gate import (
+        dedup_against_admitted,
+        write_hash_index_batch,
+    )
+
+    out_dir = str(tmp_path / "out")
+    wave1 = _docs(spark, [(1, "a b c d e f")])
+    write_admitted_batch(wave1, out_dir, 0)
+    write_hash_index_batch(wave1, out_dir, 0)
+    # the lake's data partitions vanish; the 32-byte hash index stays
+    for p in Path(out_dir).glob("batch=*"):
+        shutil.rmtree(p)
+    wave2 = _docs(spark, [(5, "a b c d e f"), (6, "q r s t u v")])
+    surv = dedup_against_admitted(spark, wave2, out_dir, batch_id=1)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [6]
+
+
+def test_index_is_invisible_to_lake_readers(spark, tmp_path):
+    """_hash_index is underscore-prefixed, so scanning out_dir as one
+    partitioned dataset must not surface index rows or columns."""
+    from processor_post_timeseries_spark.streaming.ingest_gate import (
+        write_hash_index_batch,
+    )
+
+    out_dir = str(tmp_path / "out")
+    wave = _docs(spark, [(1, "a b c d e f"), (2, "g h i j k l")])
+    write_admitted_batch(wave, out_dir, 0)
+    write_hash_index_batch(wave, out_dir, 0)
+    lake = spark.read.parquet(out_dir)
+    assert "_h" not in lake.columns and "_hp" not in lake.columns
+    assert lake.count() == 2
+
+
+def test_rebuild_hash_index_migrates_legacy_lake(spark, tmp_path):
+    """Pre-index lakes: rebuild_hash_index derives per-batch index
+    partitions, after which dedup excludes legacy content."""
+    from processor_post_timeseries_spark.streaming.ingest_gate import (
+        dedup_against_admitted,
+        rebuild_hash_index,
+    )
+
+    out_dir = str(tmp_path / "out")
+    write_admitted_batch(_docs(spark, [(1, "a b c d e f")]), out_dir, 0)
+    write_admitted_batch(_docs(spark, [(2, "g h i j k l")]), out_dir, 1)
+    rebuild_hash_index(spark, out_dir)
+    batch = _docs(spark, [(7, "a b c d e f"), (8, "g h i j k l"), (9, "new text here")])
+    surv = dedup_against_admitted(spark, batch, out_dir, batch_id=2)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [9]
 
 
 def test_batch_replay_is_idempotent(spark, tmp_path):
