@@ -94,12 +94,17 @@ def block_bounds_from_ts_arrays(
 ) -> DataFrame:
     """Fixed-size block bounds cut WITHIN gap-delimited segments, keyed
     with the real µs extents of each chunk's first/last sample —
-    ``{doc}_{start_us}_{end_us}.bin``, the reference's object naming
-    with stored-timestamp bounds (``writer.py:90-95``). Returns one row
-    per (doc, seg_id, block_no) with (start_us, end_us half-open,
-    start_pos 0-based, n, key). Narrow map + one explode; payload
-    encoding is orthogonal (``operators/blocks.py`` codecs apply per
-    slice)."""
+    ``{doc}_{start_us}_{end_us}.bin``. NOTE: this is an INTENTIONAL
+    deviation from the reference's object naming, not interop with it:
+    the reference keys chunks ``channel-{i:05d}_{start}_{end}`` with the
+    INCLUSIVE last-sample timestamp, unpadded (``writer.py:90-95``,
+    implemented faithfully in ``functions/legacy.py``); this engine
+    keys every extent HALF-OPEN (``end_us = last_ts + 1``, zero-padded
+    for lexicographic listing order) for consistency with every other
+    bound it emits. Returns one row per (doc, seg_id, block_no) with
+    (start_us, end_us half-open, start_pos 0-based, n, key). Narrow map
+    + one explode; payload encoding is orthogonal
+    (``operators/blocks.py`` codecs apply per slice)."""
     gap = gap_us if isinstance(gap_us, Column) else F.lit(gap_us)
     ts = F.col(ts_col)
     bounds = _boundary_positions(ts, gap)
@@ -178,7 +183,13 @@ def irregular_to_blocks(
 
     Output: (doc_id, source, seg_id, block_no, start_us, end_us,
     start_pos, n, payload, ts_payload, key). Round-trip via
-    ``irregular_from_blocks``.
+    ``irregular_from_blocks``. Keys use the engine's half-open
+    zero-padded convention, NOT the reference's inclusive-end unpadded
+    naming — see ``block_bounds_from_ts_arrays``.
+
+    Precondition (asserted, matching ``tier_from_ts_arrays``):
+    timestamps sorted within each doc — unsorted input would silently
+    yield wrong segment boundaries and negative-span keys.
     """
     from collections.abc import Iterator
 
@@ -213,8 +224,13 @@ def irregular_to_blocks(
                 ts = np.asarray(tss, dtype=np.int64)
                 if len(ts) == 0:
                     continue
+                deltas = np.diff(ts)
+                if (deltas < 0).any():
+                    raise ValueError(
+                        f"timestamps not sorted within doc {doc!r}"
+                    )
                 # segment boundaries: positions AFTER a gap (0-based)
-                brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+                brk = np.flatnonzero(deltas > gap_us) + 1
                 bounds = np.concatenate(([0], brk, [len(ts)]))
                 for sid in range(len(bounds) - 1):
                     s0, s1 = int(bounds[sid]), int(bounds[sid + 1])

@@ -16,10 +16,13 @@ available the reader is fully distributed:
   each open the file THEMSELVES and read only their slice — HDF5
   supports unlimited concurrent readers, so scan parallelism =
   slices, exactly how a 100 TB NWB store should be chunked;
-* explicit ``timestamps`` (NWB stores seconds; reference multiplies
-  to µs) ride along per-slice, feeding ``operators/irregular.py``;
-  implicit-rate series synthesize nothing — downstream operators use
-  the implicit-index model (SURVEY §1.3).
+* the scan emits REFERENCE-SCALED values — per-channel affine
+  ``(raw·conversion·channel_conversion+offset)·unit->µV``
+  (``reader.py:246-271``) — and explicit ``timestamps`` (NWB seconds)
+  ride along per-slice with ``session_start_time`` added before the µs
+  conversion (``reader.py:39,118,136``), feeding
+  ``operators/irregular.py``; implicit-rate series synthesize nothing —
+  downstream operators use the implicit-index model (SURVEY §1.3).
 
 The emitted chunk schema is the engine's sequence shape with
 ``start_pos`` offsets, so ``operators/incremental.py`` can fold chunks
@@ -51,6 +54,17 @@ _ERR = (
     "environment; install the 'nwb' extra on a real cluster"
 )
 
+# volts -> microvolts conversion the reference fixes its channel unit to
+# (reference/processor/reader.py:11-18, applied at :271)
+UNIT_TO_UV = {
+    "volts": 1e6,
+    "v": 1e6,
+    "millivolts": 1e3,
+    "mv": 1e3,
+    "microvolts": 1.0,
+    "uv": 1.0,
+}
+
 
 def _require_h5py() -> None:
     if h5py is None:
@@ -69,10 +83,53 @@ def _find_series(f):
     raise ValueError("no ElectricalSeries-like group under /acquisition")
 
 
+def _series_scaling(f, grp) -> dict:
+    """Scaling + session-time metadata the reference applies to every
+    chunk (``reader.py:246-271`` affine, ``reader.py:39,118,136``
+    session-start offset): conversion, per-channel conversion, offset,
+    unit->µV factor, and session_start_time seconds (NWB 2.x stores it
+    as an ISO-8601 root dataset; absent -> 0.0)."""
+    import numpy as np
+
+    data = grp["data"]
+    conversion = float(data.attrs.get("conversion", 1.0))
+    offset = float(data.attrs.get("offset", 0.0))
+    unit = data.attrs.get("unit", "volts")
+    if isinstance(unit, bytes):
+        unit = unit.decode()
+    unit = str(unit).lower()
+    if unit not in UNIT_TO_UV:
+        raise ValueError(
+            f"Unknown unit {unit!r} - expected one of: {list(UNIT_TO_UV)}"
+        )
+    chconv = grp.get("channel_conversion")
+    chconv_arr = (
+        np.asarray(chconv[:], dtype="float64") if chconv is not None else None
+    )
+    session_start_secs = 0.0
+    sst = f.get("session_start_time")
+    if sst is not None:
+        from datetime import datetime
+
+        v = sst[()]
+        if isinstance(v, bytes):
+            v = v.decode()
+        session_start_secs = datetime.fromisoformat(str(v)).timestamp()
+    return {
+        "conversion": conversion,
+        "offset": offset,
+        "unit": unit,
+        "unit_to_uv": float(UNIT_TO_UV[unit]),
+        "channel_conversion": chconv_arr,
+        "session_start_secs": session_start_secs,
+    }
+
+
 def nwb_series_info(path: str) -> dict:
     """Driver-side metadata probe (no sample data read): shape, rate,
-    explicit-timestamp presence. Mirrors the reference reader's
-    constructor checks (``reader.py:36-58``)."""
+    explicit-timestamp presence, plus the scaling/session metadata the
+    chunk scan applies. Mirrors the reference reader's constructor
+    checks (``reader.py:36-58``)."""
     _require_h5py()
     with h5py.File(path, "r") as f:
         name, grp = _find_series(f)
@@ -85,12 +142,18 @@ def nwb_series_info(path: str) -> dict:
             rate = float(st.attrs["rate"])
         if rate is None and "rate" in data.attrs:
             rate = float(data.attrs["rate"])
+        scaling = _series_scaling(f, grp)
         return {
             "series": name,
             "n_samples": int(n_samples),
             "n_channels": int(n_channels),
             "rate_hz": rate,
             "has_explicit_timestamps": bool(has_ts),
+            "conversion": scaling["conversion"],
+            "offset": scaling["offset"],
+            "unit": scaling["unit"],
+            "has_channel_conversion": scaling["channel_conversion"] is not None,
+            "session_start_secs": scaling["session_start_secs"],
         }
 
 
@@ -101,8 +164,11 @@ def read_nwb_chunks(
 ) -> DataFrame:
     """Distributed NWB scan -> chunk rows (NWB_CHUNK_SCHEMA). Each task
     opens the file independently and slices ``[start, end)`` of its
-    channel column; explicit timestamps (NWB seconds -> µs, the
-    reference's conversion) ride along when stored."""
+    channel column, emitting REFERENCE-SCALED values: ``(raw ·
+    conversion · channel_conversion[ch] + offset) · unit->µV``
+    (``reader.py:246-271``). Explicit timestamps ride along with the
+    session-start offset added, in µs: ``(ts_secs +
+    session_start_secs) · 1e6`` (``reader.py:118,136``)."""
     _require_h5py()
     import pandas as pd
 
@@ -123,13 +189,23 @@ def read_nwb_chunks(
             _name, grp = _find_series(f)
             data = grp["data"]
             tsd = grp.get("timestamps")
+            sc = _series_scaling(f, grp)
+            uv, off, sst = sc["unit_to_uv"], sc["offset"], sc["session_start_secs"]
+            chconv = sc["channel_conversion"]
             for pdf in batches:
                 out = []
                 for ch, start, end in zip(pdf["ch"], pdf["start"], pdf["end"]):
-                    vals = data[start:end, ch].astype("float64")
+                    scale = sc["conversion"] * (
+                        float(chconv[ch]) if chconv is not None else 1.0
+                    )
+                    vals = (
+                        data[start:end, ch].astype("float64") * scale + off
+                    ) * uv
                     ts = None
                     if tsd is not None:
-                        ts = (tsd[start:end] * 1_000_000.0).round().astype("int64")
+                        ts = (
+                            (tsd[start:end].astype("float64") + sst) * 1_000_000.0
+                        ).round().astype("int64")
                     out.append(
                         (
                             f"ch-{ch:05d}",
@@ -148,9 +224,11 @@ def read_nwb_chunks(
 
 def nwb_chunks_to_sequences(chunks: DataFrame, scale: float = 1.0) -> DataFrame:
     """Chunk rows -> input_hint sequences (doc_id, tokens:array<int>,
-    n_tok, source): values are affine-scaled then rounded to int32
-    tokens (operator P1's scale step), chunks reassembled in
-    ``start_pos`` order — the same ordered-assembly contract as
+    n_tok, source). ``scale`` is purely the TOKENIZATION quantization
+    (µV -> int32 token grid) — the reference's physical scaling
+    (conversion/channel_conversion/offset/unit) is already applied by
+    the scan kernel, per channel. Chunks reassemble in ``start_pos``
+    order — the same ordered-assembly contract as
     ``operators/blocks.from_blocks``. One shuffle on doc_id."""
     from pyspark.sql import functions as F
 

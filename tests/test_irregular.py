@@ -125,6 +125,14 @@ def test_tier_kernel_rejects_unsorted_ts(spark):
         tier_from_ts_arrays(df, window_us=1000).collect()
 
 
+def test_blocks_kernel_rejects_unsorted_ts(spark):
+    # same documented precondition as tier_from_ts_arrays: unsorted ts
+    # would silently mis-segment and emit negative-span keys
+    df = _seq(spark, [("d1", [1, 2, 3], [100, 50, 200], "s")])
+    with pytest.raises(Exception, match="not sorted"):
+        irregular_to_blocks(df, gap_us=1000, block_size=2).collect()
+
+
 def test_rate_inference_median_semantics(spark):
     # deltas 1000,1000,3000 -> median 1000 (odd count); two deltas
     # 1000,2000 -> median 1500 (even interpolation); single sample -> absent

@@ -38,7 +38,10 @@ def nwb_file(tmp_path):
     )
     with h5py.File(path, "w") as f:
         grp = f.create_group("acquisition/ElectricalSeries")
-        grp.create_dataset("data", data=data)
+        d = grp.create_dataset("data", data=data)
+        # unit 'uv' = identity scaling: these tests assert raw passthrough
+        # (the reference's default unit is 'volts' -> x1e6)
+        d.attrs["unit"] = "uv"
         st = grp.create_dataset("starting_time", data=0.0)
         st.attrs["rate"] = rate
         grp.create_dataset("timestamps", data=t)
@@ -59,6 +62,51 @@ def test_info_and_distributed_chunk_scan(spark, nwb_file):
     np.testing.assert_allclose(rebuilt, data[:, 0])
     # explicit timestamps ride along in µs
     assert ch0[0]["ts_us"][1] == round(1_000_000 / rate)
+
+
+def test_reference_scaling_and_session_start(spark, tmp_path):
+    """Reference parity (reader.py:246-271, :39/:118/:136): values are
+    (raw * conversion * channel_conversion[ch] + offset) * unit->uV and
+    timestamps get session_start_time added before the us conversion."""
+    h5py = pytest.importorskip("h5py")
+    from datetime import datetime, timezone
+
+    path = str(tmp_path / "scaled.nwb")
+    n, rate = 200, 100.0
+    t = np.arange(n) / rate
+    raw = np.column_stack([np.arange(n, dtype="float64"), np.arange(n, dtype="float64") * -1.0])
+    conversion, offset, chconv = 0.5e-6, 0.001, [1.0, 2.0]
+    start_iso = "2020-01-01T00:00:00+00:00"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("session_start_time", data=start_iso)
+        grp = f.create_group("acquisition/ElectricalSeries")
+        d = grp.create_dataset("data", data=raw)
+        d.attrs["conversion"] = conversion
+        d.attrs["offset"] = offset
+        d.attrs["unit"] = "volts"
+        grp.create_dataset("channel_conversion", data=chconv)
+        st = grp.create_dataset("starting_time", data=0.0)
+        st.attrs["rate"] = rate
+        grp.create_dataset("timestamps", data=t)
+
+    info = nwb.nwb_series_info(path)
+    sst = datetime.fromisoformat(start_iso).timestamp()
+    assert info["has_channel_conversion"] and info["unit"] == "volts"
+    assert info["session_start_secs"] == sst
+    assert sst == datetime(2020, 1, 1, tzinfo=timezone.utc).timestamp()
+
+    chunks = nwb.read_nwb_chunks(spark, path, samples_per_task=64).collect()
+    for ch in (0, 1):
+        rows = sorted(
+            (r for r in chunks if r["doc_id"] == f"ch-{ch:05d}"),
+            key=lambda r: r["start_pos"],
+        )
+        got = np.concatenate([np.asarray(r["values"]) for r in rows])
+        want = (raw[:, ch] * conversion * chconv[ch] + offset) * 1e6
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        got_ts = np.concatenate([np.asarray(r["ts_us"]) for r in rows])
+        want_ts = np.round((t + sst) * 1e6).astype(np.int64)
+        np.testing.assert_array_equal(got_ts, want_ts)
 
 
 def test_chunks_reassemble_to_sequences(spark, nwb_file):
