@@ -2929,6 +2929,47 @@ FROM sizes s LEFT JOIN flagged f ON f.doc_id = s.doc_id
 _REGISTRY["dedup_span_report"] = _q_dedup_span_report()
 
 
+def _q_dedup_exact_runs():
+    """Dedup+ — EXACT shared-run extraction (operators/spans.py
+    exact_duplicate_runs): the stride-1 verification pass that gives
+    the suffix-array guarantee (Lee et al. ACL'22) — one row per
+    maximal run (>= 24 chars) every window of which appears in more
+    than one document, with precise 1-based start and length. The
+    oracle replays the stride-1 md5 windows and the gaps-and-islands
+    merge in SQL."""
+    L = 24
+
+    def run(spark, sf_dir):
+        from .operators.spans import exact_duplicate_runs
+
+        load_views(spark, sf_dir)
+        return exact_duplicate_runs(spark.table("documents"), min_len=L)
+
+    return run, f"""
+WITH w AS (
+  SELECT doc_id, pos, md5(substr(text, CAST(pos AS INTEGER), {L})) AS whash
+  FROM documents, (SELECT unnest(range(1, 100001)) AS pos) g
+  WHERE pos <= length(text) - {L - 1}
+), shared AS (
+  SELECT whash FROM (SELECT DISTINCT whash, doc_id FROM w) dw
+  GROUP BY whash HAVING COUNT(*) > 1
+), f AS (
+  SELECT doc_id, pos FROM w WHERE whash IN (SELECT whash FROM shared)
+), g2 AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM f
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS run_start,
+       CAST(MAX(pos) - MIN(pos) + {L} AS BIGINT) AS run_len
+FROM g2 GROUP BY doc_id, isl
+"""
+
+
+_REGISTRY["dedup_exact_runs"] = _q_dedup_exact_runs()
+
+
 def _q_text_repetition():
     """Text+ — within-doc repetition metrics (functions/text.py
     repetition_metrics): duplicate-bigram fraction and top-gram share,

@@ -17,7 +17,9 @@ stride == 1. For phase-robust guarantees choose stride small relative
 to window (the default 8 vs 32 detects shared runs >= 39 chars at any
 phase with probability 1 for runs containing a common aligned window,
 and in practice template duplication is long). ``stride=1`` gives the
-exact guarantee at stride-fold cost.
+exact guarantee at stride-fold cost — packaged as the two-phase
+``exact_duplicate_runs`` (strided candidate discovery, then stride-1
+verification + maximal-run merge over candidates only).
 
 Scale shape: |corpus|/stride window rows, one shuffle on the window
 hash (count reduced map-side), then a broadcast-friendly semi-join of
@@ -75,6 +77,84 @@ def duplicate_spans(
         .filter(F.col("n_docs") > 1)
     )
     return w.join(shared, "whash").select("doc_id", "pos", "whash", "n_docs")
+
+
+def exact_duplicate_runs(
+    docs: DataFrame,
+    min_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT shared-run extraction — the stride-1 verification pass that
+    upgrades the strided approximation to the suffix-array guarantee
+    (Lee et al. ACL'22) at bounded cost: one row per MAXIMAL run of
+    length >= ``min_len`` whose every ``min_len``-char window appears in
+    more than one document. Output (doc_id, run_start 1-based, run_len).
+
+    Why exact: a substring duplicated across docs with length
+    L >= min_len contributes exactly its L - min_len + 1 stride-1
+    windows in each copy, all shared — so the flagged positions form a
+    contiguous block and merging adjacent positions recovers the
+    maximal duplicated run precisely (start = first flagged pos,
+    len = last - first + min_len). No phase alignment caveat: stride 1
+    admits every phase.
+
+    Cost control: stride-1 hashing is window-per-character — linear in
+    candidate BYTES but ~stride× the strided pass — so production runs
+    it as phase 2 over ``candidates`` only (docs flagged by
+    ``duplicate_spans``/LSH; broadcast semi-join, the corpus never
+    re-shuffles). Phase 2 over candidates is where the exact guarantee
+    is needed; phase 1 keeps the corpus-wide cost at 1/stride.
+
+    Plan: strided=1 window hashes -> shared-hash set (one map-side
+    reduced shuffle) -> semi-join back -> per-doc gaps-and-islands
+    merge done IN-ROW with array expressions (sorted flagged positions,
+    split where the step exceeds 1) — one shuffle on doc_id, state
+    bounded by doc length."""
+    d = docs
+    if candidates is not None:
+        d = d.join(
+            F.broadcast(candidates.select(F.col(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+    w = _window_hashes(d, min_len, 1, text_col, id_col)
+    shared = (
+        w.select("whash", "doc_id")
+        .distinct()
+        .groupBy("whash")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+    )
+    flagged = w.join(shared.select("whash"), "whash", "left_semi")
+    ps = flagged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("_ps")
+    )
+    arr = F.col("_ps")
+    n = F.size(arr)
+    # 1-based indices into _ps where a new island starts (step > 1),
+    # suffixed with n+1 -> half-open island bounds (docs reaching this
+    # point have >= 1 flagged position, so sequence(1, n) never counts
+    # down)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(arr, i) - F.element_at(arr, i - 1) > 1),
+    )
+    bounds = F.concat(starts, F.array(n + 1))
+    runs = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.struct(
+            F.element_at(arr, F.element_at(bounds, j)).alias("s"),
+            F.element_at(arr, F.element_at(bounds, j + 1) - 1).alias("e"),
+        ),
+    )
+    return ps.select(id_col, F.explode(runs).alias("_r")).select(
+        id_col,
+        F.col("_r.s").cast("long").alias("run_start"),
+        (F.col("_r.e") - F.col("_r.s") + min_len).cast("long").alias("run_len"),
+    )
 
 
 def span_dup_report(

@@ -58,6 +58,63 @@ class TestDuplicateSpans:
         assert rep[1]["dup_fraction"] == round(2 / 3, 6)
 
 
+class TestExactRuns:
+    def test_injected_template_extracted_exactly(self, spark):
+        """Maximal-run exactness: a 40-char template injected at
+        DIFFERENT offsets (phases) in distinct docs comes back as one
+        run per doc with the precise start and length — the guarantee
+        the strided pass can't make."""
+        from processor_post_timeseries_spark.operators.spans import (
+            exact_duplicate_runs,
+        )
+
+        tpl = "THE-QUICK-BROWN-FOX-JUMPS-OVER-LAZY-DOGS"  # 40 chars
+        assert len(tpl) == 40
+        docs = _docs(
+            spark,
+            [
+                (1, "aaa" + tpl + "bbbbb"),        # run at pos 4
+                (2, tpl + "zzzzzzzzzzzz"),          # run at pos 1
+                (3, "cccccccc" + tpl),              # run at pos 9
+                (4, "unique-text-without-the-template-here-at-all"),
+            ],
+        )
+        out = {
+            r["doc_id"]: (r["run_start"], r["run_len"])
+            for r in exact_duplicate_runs(docs, min_len=24).collect()
+        }
+        assert out == {1: (4, 40), 2: (1, 40), 3: (9, 40)}
+
+    def test_two_separate_runs_stay_separate(self, spark):
+        from processor_post_timeseries_spark.operators.spans import (
+            exact_duplicate_runs,
+        )
+
+        a, b = "A" * 30, "B" * 30
+        # both docs share run a AND run b, separated by unique filler
+        docs = _docs(
+            spark,
+            [(1, a + "xxxxxxxxxx" + b), (2, a + "yyyyyyyyyy" + b)],
+        )
+        out = sorted(
+            (r["doc_id"], r["run_start"], r["run_len"])
+            for r in exact_duplicate_runs(docs, min_len=24).collect()
+        )
+        # runs: [1,30] and [41,70] in both docs
+        assert out == [(1, 1, 30), (1, 41, 30), (2, 1, 30), (2, 41, 30)]
+
+    def test_candidates_restrict_the_stride1_pass(self, spark):
+        from processor_post_timeseries_spark.operators.spans import (
+            exact_duplicate_runs,
+        )
+
+        tpl = "SHARED-TEMPLATE-CONTENT-FOR-PHASE2-CHECK"
+        docs = _docs(spark, [(1, tpl + "aa"), (2, tpl + "bb"), (3, tpl + "cc")])
+        cands = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        out = {r["doc_id"] for r in exact_duplicate_runs(docs, min_len=24, candidates=cands).collect()}
+        assert out == {1, 2}  # doc 3 excluded from the verification pass
+
+
 class TestRepetition:
     def test_known_values(self, spark):
         # "a b a b a": bigrams [a b, b a, a b, b a] -> 4 grams, 2 distinct,
