@@ -2639,34 +2639,41 @@ def _irregular_ts_seq(spark, sf_dir):
     d(v) = 40000 µs when its token v is divisible by 11 (a GAP — beyond
     any 2×period threshold), else 800 + (v%7)*100 µs (normal jitter).
     Token-dependent, so segment boundaries differ per doc; replayable in
-    SQL as a windowed prefix sum. The per-row prefix-sum aggregate is
-    quadratic in doc length — fine at certification scale; production
-    streams STORE their timestamps (reference reader.py:62-64)."""
+    SQL as a windowed prefix sum — and BUILT as one here too: posexplode
+    -> per-doc window cumsum -> ordered collect back to an array. The
+    window/aggregate pair is a physical barrier, so downstream queries
+    that reference ``ts`` several times (a2's median expression does)
+    reference the computed ATTRIBUTE instead of having projection
+    collapse re-inline the construction per reference — the earlier
+    in-row F.aggregate prefix sum was quadratic AND re-evaluated ~5x
+    interpreted, which put the a2 oracle gate into the 15-minute range."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     seq = _char_tokens_df(spark, sf_dir)
-    d = lambda v: F.when(v % 11 == 0, F.lit(40000)).otherwise(  # noqa: E731
-        F.lit(800) + (v % 7) * 100
+    e = seq.select("doc_id", F.posexplode("tokens").alias("pos", "v"))
+    delta = (
+        F.when(F.col("pos") == 0, F.lit(0))
+        .when(F.col("v") % 11 == 0, F.lit(40000))
+        .otherwise(F.lit(800) + (F.col("v") % 7) * 100)
+        .cast("long")
     )
-    ds = F.transform(
-        F.sequence(F.lit(1), F.size("tokens")),
-        lambda i: F.when(i == 1, F.lit(0))
-        .otherwise(d(F.element_at(F.col("tokens"), i)))
-        .cast("long"),
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ts = F.aggregate(
-        ds,
-        F.array().cast("array<long>"),
-        lambda acc, x: F.concat(
-            acc,
-            F.array(
-                F.when(F.size(acc) == 0, x).otherwise(
-                    F.element_at(acc, F.size(acc)) + x
-                )
-            ),
-        ),
+    tsdf = (
+        e.select("doc_id", "pos", F.sum(delta).over(w).alias("_t"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_t"))),
+                lambda s: s["_t"],
+            ).alias("ts")
+        )
     )
-    return seq.withColumn("ts", ts)
+    return seq.join(tsdf, "doc_id")
 
 
 _DUCK_IRREGULAR_SEG_CTE = """

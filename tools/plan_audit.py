@@ -37,7 +37,22 @@ def audit(df) -> dict:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    # window partition arity: exprs before the first ASC/DESC sort item in
+    # each windowspecdefinition. Arity-1 windows over corpus-sized inputs
+    # are the single-task-per-key scale hazard (VERDICT r3 #1/#2) — the
+    # census makes new ones visible for review; bounded-input ones
+    # (per-bucket summary frames) are fine and stay unflagged.
+    arities = []
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        parts = [p.strip() for p in spec.split(",")]
+        k = 0
+        for p in parts:
+            if " ASC" in p or " DESC" in p or p.startswith("specifiedwindowframe"):
+                break
+            k += 1
+        arities.append(k)
     return {
+        "window_partition_arities": sorted(set(arities)),
         "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "reused_exchanges": len(re.findall(r"\(\d+\) ReusedExchange", plan)),
         "cartesian": "CartesianProduct" in plan,
