@@ -46,10 +46,13 @@ def order_bucket(
       and thus parallelism — follows the id alphabet; zero-padded or
       uuid-ish ids spread uniformly, a shared long constant prefix
       degrades toward one bucket (raise ``prefix_len``).
-    * integral ids: ``(id - min) div width`` with ``width`` sized from
-      the (min, max) range for ~``num_buckets`` buckets — monotone and
-      overflow-safe at any id magnitude. The 1-row min/max aggregate is
-      broadcast in-plan (no driver collect).
+    * integral ids: ``floor((id - min) / width)`` with ``width`` sized
+      from the (min, max) range for ~``num_buckets`` buckets. The
+      subtraction runs in DOUBLE: monotone (double conversion is
+      order-preserving over longs; ties only coarsen buckets, never
+      reorder), and immune to ANSI int64-overflow when the id range
+      spans more than half the long domain. The 1-row min/max aggregate
+      is broadcast in-plan (no driver collect).
 
     Returns (df_with_bucket, "_bkt")."""
     dtype = dict(df.dtypes)[id_col]
@@ -61,13 +64,21 @@ def order_bucket(
             F.max(id_col).cast("long").alias("_mx"),
         )
         width = F.greatest(
-            ((F.col("_mx") - F.col("_mn")) / F.lit(num_buckets)).cast("long") + 1,
+            (
+                (F.col("_mx").cast("double") - F.col("_mn").cast("double"))
+                / F.lit(num_buckets)
+            ).cast("long")
+            + 1,
             F.lit(1),
         )
         out = (
             df.crossJoin(F.broadcast(mm))
             .withColumn(
-                "_bkt", ((F.col(id_col).cast("long") - F.col("_mn")) / width).cast("long")
+                "_bkt",
+                F.floor(
+                    (F.col(id_col).cast("double") - F.col("_mn").cast("double"))
+                    / width
+                ).cast("long"),
             )
             .drop("_mn", "_mx")
         )

@@ -128,6 +128,66 @@ def rebuild_hash_index(spark: SparkSession, out_dir: str, text_col: str = "text"
         )
 
 
+def compact_hash_index(
+    spark: SparkSession, out_dir: str, keep_last: int = 1
+) -> int:
+    """Offline index maintenance: fold completed batches' hash
+    partitions into one ``batch=-1`` partition (still ``_hp``-prefix
+    partitioned, distinct within prefix) so a long-lived stream's index
+    stays O(prefixes) directories instead of O(batches). Returns how
+    many batch partitions were compacted.
+
+    Safety rules (both enforced by convention, documented here):
+    * run while the stream is STOPPED. A batch the checkpoint has not
+      committed may be replayed, and a replayed batch excludes only its
+      OWN partition — hashes folded into ``batch=-1`` would make it
+      self-exclude and lose rows. ``keep_last`` newest batches are kept
+      un-compacted as the safety margin for exactly that window.
+    * crash tolerance: the compacted partition is written BEFORE the
+      source partitions are removed; a crash in between leaves
+      duplicate hash rows, which the anti-join is insensitive to, and a
+      re-run converges."""
+    import shutil
+    from urllib.parse import urlparse
+
+    idx_path = _index_path(out_dir)
+    hashes = _read_admitted_hashes(spark, out_dir, batch_id=-(2**62))
+    if hashes is None:
+        return 0
+    batches = sorted(
+        int(r["batch"]) for r in hashes.select("batch").distinct().collect()
+    )
+    victims = [b for b in batches if b != -1]
+    victims = victims[: max(len(victims) - keep_last, 0)]
+    if not victims:
+        return 0
+    merged = (
+        hashes.filter(F.col("batch").isin([-1] + victims))
+        .select("_h", "_hp")
+        .distinct()
+    )
+    # stage the new compacted partition OUTSIDE the index dir (an
+    # underscore sibling: invisible to both lake readers and index
+    # partition discovery, even if a crash leaves it behind), then swap —
+    # the live batch=-1 dir must not be overwritten in place while it is
+    # also an input of this very job
+    staged = f"{out_dir.rstrip('/')}/_hash_index_staging"
+    merged.write.partitionBy("_hp").mode("overwrite").parquet(staged)
+    p = urlparse(idx_path)
+    if p.scheme not in ("", "file"):  # local-FS seam, like legacy_export
+        raise NotImplementedError(
+            "compact_hash_index swap step is implemented for local paths; "
+            "use a rename-capable FileSystem client for object stores"
+        )
+    root = p.path if p.scheme == "file" else idx_path
+    staged = urlparse(staged).path if p.scheme == "file" else staged
+    shutil.rmtree(f"{root}/batch=-1", ignore_errors=True)
+    for b in victims:
+        shutil.rmtree(f"{root}/batch={b}", ignore_errors=True)
+    shutil.move(staged, f"{root}/batch=-1")
+    return len(victims)
+
+
 def dedup_against_admitted(
     spark: SparkSession,
     batch: DataFrame,

@@ -125,6 +125,20 @@ class TestSampling:
                 assert got[k] == v
         assert len(got) == (40 + 1) // 2 + (7 + 1) // 2
 
+    def test_mixture_rates_empty_targets_take_zero(self, spark):
+        """ADVICE r3: empty/all-zero targets must yield n_tok_take = 0
+        and rate = 0.0 consistently — not NULL takes."""
+        from processor_post_timeseries_spark.operators.sampling import mixture_rates
+
+        df = spark.createDataFrame(
+            [("d1", 100, "a"), ("d2", 50, "b")],
+            "doc_id string, n_tok int, source string",
+        )
+        for tgt in ({}, {"a": 0.0}):
+            rows = mixture_rates(df, tgt).collect()
+            assert {r["source"] for r in rows} == {"a", "b"}
+            assert all(r["n_tok_take"] == 0 and r["rate"] == 0.0 for r in rows)
+
     def test_mixture_rates_binding_source_and_exact_shares(self, spark):
         from processor_post_timeseries_spark.operators.sampling import mixture_rates
 

@@ -159,6 +159,38 @@ def test_index_is_invisible_to_lake_readers(spark, tmp_path):
     assert lake.count() == 2
 
 
+def test_compact_hash_index_preserves_decisions(spark, tmp_path):
+    """Compaction folds completed batches into batch=-1: dedup decisions
+    unchanged, newest batch kept un-compacted, re-compaction
+    convergent, and later batches keep appending."""
+    from pathlib import Path
+
+    from processor_post_timeseries_spark.streaming.ingest_gate import (
+        compact_hash_index,
+        dedup_against_admitted,
+        write_hash_index_batch,
+    )
+
+    out_dir = str(tmp_path / "out")
+    texts = ["a b c d e f", "g h i j k l", "m n o p q r"]
+    for b, t in enumerate(texts):
+        wave = _docs(spark, [(b * 10, t)])
+        write_admitted_batch(wave, out_dir, b)
+        write_hash_index_batch(wave, out_dir, b)
+
+    assert compact_hash_index(spark, out_dir, keep_last=1) == 2
+    dirs = sorted(p.name for p in Path(out_dir, "_hash_index").glob("batch=*"))
+    assert dirs == ["batch=-1", "batch=2"]  # newest kept, rest folded
+    # all three contents still excluded; a new one admitted
+    batch = _docs(spark, [(50, texts[0]), (51, texts[2]), (52, "s t u v w x")])
+    surv = dedup_against_admitted(spark, batch, out_dir, batch_id=3)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [52]
+    # convergent: nothing further to fold except batch=2
+    assert compact_hash_index(spark, out_dir, keep_last=0) == 1
+    surv2 = dedup_against_admitted(spark, batch, out_dir, batch_id=3)
+    assert sorted(r["doc_id"] for r in surv2.collect()) == [52]
+
+
 def test_rebuild_hash_index_migrates_legacy_lake(spark, tmp_path):
     """Pre-index lakes: rebuild_hash_index derives per-batch index
     partitions, after which dedup excludes legacy content."""
