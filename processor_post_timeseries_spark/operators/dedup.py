@@ -203,16 +203,56 @@ def lsh_candidate_pairs(
     hash_fn: str = "xxh64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket: (doc_a, doc_b,
-    n_bands_shared). ``max_bucket_size`` caps each band bucket before the
-    self-join (see ``_cap_bucket_size``); buckets below the cap —
-    i.e. every bucket at sane duplication rates — are returned exactly."""
+    n_bands_shared).
+
+    Capped path (the default): ONE aggregation per band bucket —
+    ``slice(array_sort(collect_list(doc_id)), 1, cap)`` keeps the cap
+    smallest ids (bit-identical to the former row_number cap), then all
+    in-bucket i<j pairs are generated IN-GROUP with array expressions.
+    This replaces the cap window + self-join (two more plan branches
+    re-reading the bucket exchange) — measured ~10% faster at sf0.1 and
+    one exchange fewer; group state is bounded by ``cap`` ids (≤ ~8 KB)
+    and the explode by cap·(cap−1)/2 pairs per bucket. Buckets below
+    the cap — every bucket at sane duplication rates — are returned
+    exactly.
+
+    ``max_bucket_size=None`` (unbounded buckets) keeps the join form:
+    without a cap, a degenerate bucket must spread across tasks rather
+    than sit in one collect_list row."""
     allbands = _band_buckets(docs, n_hashes, n_bands, n, id_col, hash_fn)
-    allbands = _cap_bucket_size(allbands, ["band_no", "band_hash"], "doc_id", max_bucket_size)
+    if max_bucket_size is None:
+        return (
+            allbands.alias("a")
+            .join(allbands.alias("b"), ["band_no", "band_hash"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_bands_shared"))
+        )
+    g = (
+        allbands.groupBy("band_no", "band_hash")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, max_bucket_size
+            ).alias("_ids")
+        )
+        .filter(F.size("_ids") > 1)
+    )
+    n_ids = F.size("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n_ids - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n_ids),
+                lambda j: F.struct(
+                    F.element_at(F.col("_ids"), i).alias("doc_a"),
+                    F.element_at(F.col("_ids"), j).alias("doc_b"),
+                ),
+            ),
+        )
+    )
     return (
-        allbands.alias("a")
-        .join(allbands.alias("b"), ["band_no", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        g.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_bands_shared"))
     )
 

@@ -204,6 +204,10 @@ baseline to beat round over round.
 | r3: duplicate_components driver union-find under edge threshold | 11.2 s -> sub-second CC at sf0.1 (pair lists are corpus-size-independent; distributed O(log d) path kept above threshold) |
 | r3: lazy localCheckpoint + observe for CC convergence | one job per round instead of two in the distributed path |
 | r3: xxh64 MinHash promoted to default | certified vs md5 family on the sf corpus (dedup_minhash_lsh64_parity) |
+| r4: LSH banding folded into one posexplode projection | 8 -> 5 exchanges in lsh_candidate_pairs (union of per-band selects re-read the signature exchange per band) |
+| r4: two-phase bucketed prefix sums (packing, stratified rank) | removes the single-task-per-key windows — the r3 100-TB scale-killers — at identical output values |
+| r4: irregular-ts oracle fixture via window cumsum barrier | a2 gate query 15+ min -> seconds (in-row aggregate was quadratic AND re-inlined ~5x interpreted) |
+| r4: streaming dedup admitted-hash index (+ compaction) | per-batch cost O(32-B hashes, prefix-pruned) instead of re-reading the whole lake |
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
