@@ -84,6 +84,18 @@ def main(argv: list[str] | None = None) -> int:
         help="maintenance mode: audit the named stage's checkpoint rows "
         "against its durable bytes at --out (exit 1 on any mismatch)",
     )
+    ap.add_argument(
+        "--curate",
+        help="curation mode (plans/curation.py): --input is a documents "
+        "table (doc_id, text, source), --curate a benchmark documents "
+        "path; writes the per-doc stage audit to --out/audit and packed "
+        "keepset blocks to --out/blocks. Tune --min-quality / "
+        "--mixture src:share,... / --near-dup / --ctx-len",
+    )
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--mixture", help="targets, e.g. src0:0.5,src1:0.5")
+    ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--ctx-len", type=int, default=2048)
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -99,6 +111,41 @@ def main(argv: list[str] | None = None) -> int:
     from processor_post_timeseries_spark.sources.synth import sequences
 
     spark = get_spark("pts-cli", master=args.master)
+
+    if args.curate:
+        from processor_post_timeseries_spark.plans.curation import (
+            curate,
+            curate_and_pack,
+        )
+
+        if not args.input:
+            ap.error("--curate requires --input (the documents table)")
+        targets = None
+        if args.mixture:
+            targets = {
+                s: float(p)
+                for s, p in (part.split(":") for part in args.mixture.split(","))
+            }
+        docs = read_table(spark, args.input)
+        bench = read_table(spark, args.curate)
+        kw = dict(
+            min_quality=args.min_quality, targets=targets, near_dup=args.near_dup
+        )
+        audit = curate(docs, bench, **kw)
+        audit.write.mode("overwrite").parquet(f"{args.out}/audit")
+        curate_and_pack(docs, bench, ctx_len=args.ctx_len, **kw).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/blocks")
+        stages = {
+            r["stage"]: r["n"]
+            for r in spark.read.parquet(f"{args.out}/audit")
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(json.dumps({"mode": "curate", "stages": stages}))
+        spark.stop()
+        return 0
 
     if args.verify_lineage:
         from processor_post_timeseries_spark.plans.lineage import verify_lineage

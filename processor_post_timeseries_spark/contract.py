@@ -2977,6 +2977,115 @@ FROM g2 GROUP BY doc_id, isl
 _REGISTRY["dedup_exact_runs"] = _q_dedup_exact_runs()
 
 
+def _q_curation_keepset():
+    """Curation+ — the END-TO-END corpus-curation DAG
+    (plans/curation.py::curate): exact dedup -> benchmark
+    decontamination -> quality floor -> domain-mixture draw, audited as
+    one row per input doc with the FIRST stage that removed it (or
+    'kept'). Docs with doc_id % 50 == 0 play the benchmark; the rest
+    are the corpus. The oracle replays every stage — keeper-min digest
+    groups, the 5-gram overlap, the quality formula, the full-outer
+    mixture arithmetic, and the md5-prefix draw — in one SQL query, so
+    the COMPOSITION (stage ordering, survivor-dependent mixture
+    availability) is certified, not just each operator alone.
+    (Near-dup clustering is certified separately via dedup_components
+    and composed in pytest: its recursive-CTE replay inside this query
+    would dwarf everything else.)"""
+    Q = 0.55
+    TGT = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .plans.curation import curate
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        return curate(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            contam_n=5,
+            min_quality=Q,
+            targets=TGT,
+        )
+
+    tgt_rows = ", ".join(f"('{s}', {p})" for s, p in TGT.items())
+    stop_list = "', '".join(
+        ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    )
+    return run, f"""
+WITH corpus AS (
+  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 50 <> 0
+), keeper AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS kid FROM corpus GROUP BY 1
+), f1 AS (
+  SELECT c.doc_id, c.source, c.text, c.n_tok, (c.doc_id <> k.kid) AS exact_dup
+  FROM corpus c JOIN keeper k ON md5(c.text) = k.h
+), words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+  FROM words WHERE len(w) >= 5
+), bg AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+), contam AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bg USING (shingle)
+  WHERE sh.doc_id % 50 <> 0
+), q AS (
+  SELECT doc_id, ROUND((least(n_ws / 100.0, 1.0) + least(swr * 5, 1.0)
+                        + (1.0 - least(pr * 4, 1.0))) / 3, 6) AS quality
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), ' +')) END AS n_ws,
+           ROUND(len(list_filter(string_split_regex(lower(text), ' +'),
+                 x -> x IN ('{stop_list}')))
+                 / greatest(len(string_split_regex(lower(text), ' +')), 1), 6) AS swr,
+           ROUND((len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                 / greatest(len(text), 1), 6) AS pr
+    FROM corpus )
+), s3 AS (
+  SELECT f1.source, f1.n_tok FROM f1 JOIN q USING (doc_id)
+  WHERE NOT f1.exact_dup
+    AND f1.doc_id NOT IN (SELECT doc_id FROM contam)
+    AND q.quality >= {Q}
+), avail AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tok_avail FROM s3 GROUP BY source
+), j AS (
+  SELECT COALESCE(a.source, tt.source) AS source,
+         COALESCE(a.n_tok_avail, 0) AS n_tok_avail,
+         CAST(COALESCE(tt.share, 0.0) AS DOUBLE) AS target_share
+  FROM avail a FULL OUTER JOIN (VALUES {tgt_rows}) tt(source, share)
+    ON tt.source = a.source
+), t AS (
+  SELECT MIN(n_tok_avail / target_share) AS T FROM j WHERE target_share > 0
+), thr AS (
+  SELECT source,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE lpad(lower(hex(CAST(FLOOR(rate * 4294967296.0) AS BIGINT))), 8, '0')
+         END AS thresh
+  FROM (SELECT source,
+               CAST(ROUND(CASE WHEN target_share > 0 AND n_tok_avail > 0
+                               THEN LEAST(1.0, target_share * T / n_tok_avail)
+                               ELSE 0.0 END, 9) AS DOUBLE) AS rate
+        FROM j, t)
+)
+SELECT f1.doc_id, f1.source, f1.n_tok,
+       CASE WHEN f1.exact_dup THEN 'exact_dup'
+            WHEN f1.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+            WHEN q.quality < {Q} THEN 'low_quality'
+            WHEN NOT (substring(md5(CAST(f1.doc_id AS VARCHAR)), 1, 8)
+                      < COALESCE(thr.thresh, '0')) THEN 'mixture_out'
+            ELSE 'kept' END AS stage
+FROM f1 JOIN q USING (doc_id) LEFT JOIN thr ON thr.source = f1.source
+"""
+
+
+_REGISTRY["curation_keepset"] = _q_curation_keepset()
+
+
 def _q_text_repetition():
     """Text+ — within-doc repetition metrics (functions/text.py
     repetition_metrics): duplicate-bigram fraction and top-gram share,
