@@ -24,7 +24,7 @@ GOOD = "the quick brown fox jumps over the lazy dog and runs on for a while in t
 
 
 def test_stage_attribution_first_match_wins(spark):
-    bench = _docs(spark, [(900, "q w e r t y u i o p")])
+    bench = _docs(spark, [(900, "q w e r t y u i o p", "bench")])
     docs = _docs(
         spark,
         [
@@ -51,7 +51,7 @@ def test_stage_attribution_first_match_wins(spark):
 
 
 def test_exact_dup_outranks_contamination(spark):
-    bench = _docs(spark, [(900, "q w e r t y u i o p")])
+    bench = _docs(spark, [(900, "q w e r t y u i o p", "bench")])
     contaminated = "x q w e r t y z z z"
     docs = _docs(spark, [(1, contaminated, "a"), (2, contaminated, "a")])
     out = {r["doc_id"]: r["stage"] for r in curate(docs, bench, min_quality=0.0).collect()}
@@ -61,7 +61,7 @@ def test_exact_dup_outranks_contamination(spark):
 
 
 def test_near_dup_stage_drops_non_representatives(spark):
-    bench = _docs(spark, [(900, "totally unrelated benchmark words")])
+    bench = _docs(spark, [(900, "totally unrelated benchmark words", "bench")])
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
             "lambda mu nu xi omicron pi rho sigma tau upsilon")
     near = base.replace("sigma", "sigmaX")  # one-word tweak -> near-dup
@@ -79,7 +79,7 @@ def test_near_dup_stage_drops_non_representatives(spark):
 
 
 def test_mixture_stage_and_availability_from_survivors(spark):
-    bench = _docs(spark, [(900, "z z z z z z z z z z")])
+    bench = _docs(spark, [(900, "z z z z z z z z z z", "bench")])
     # two sources; targets pin 50/50 — all docs clean and unique
     rows = [(i, GOOD + f" marker{i}", "a") for i in range(10)] + [
         (100 + i, GOOD + f" tag{i}", "b") for i in range(10)
@@ -109,7 +109,7 @@ def test_cli_curate_mode(spark, tmp_path, capsys, monkeypatch):
         spark,
         [(1, GOOD, "a"), (2, GOOD, "a"), (3, GOOD + " trailing unique bits", "b")],
     )
-    bench = _docs(spark, [(900, "q w e r t y u i o p")])
+    bench = _docs(spark, [(900, "q w e r t y u i o p", "bench")])
     dp, bp, op = (str(tmp_path / d) for d in ("docs", "bench", "out"))
     docs.write.parquet(dp)
     bench.write.parquet(bp)
@@ -127,7 +127,7 @@ def test_cli_curate_mode(spark, tmp_path, capsys, monkeypatch):
 
 
 def test_curate_and_pack_blocks_only_from_keepset(spark):
-    bench = _docs(spark, [(900, "q w e r t y u i o p")])
+    bench = _docs(spark, [(900, "q w e r t y u i o p", "bench")])
     docs = _docs(
         spark,
         [(1, GOOD, "a"), (2, GOOD, "a"), (3, "x q w e r t y z z z", "a")],
