@@ -2673,7 +2673,12 @@ def _irregular_ts_seq(spark, sf_dir):
             ).alias("ts")
         )
     )
-    return seq.join(tsdf, "doc_id")
+    # LEFT join + empty-array fill: a zero-token doc has no exploded rows
+    # (absent from tsdf) but must keep ts=[] like the old in-row builder,
+    # not vanish from the fixture
+    return seq.join(tsdf, "doc_id", "left").withColumn(
+        "ts", F.coalesce("ts", F.array().cast("array<long>"))
+    )
 
 
 _DUCK_IRREGULAR_SEG_CTE = """

@@ -141,9 +141,14 @@ def pack_offsets(
             (F.sum("_bsum").over(w_bkt) - F.col("_bsum")).cast("long").alias("_base"),
         )
     )
+    # no broadcast HINT: bases is |sources|·|buckets| rows — usually tiny
+    # (AQE broadcasts it at runtime), but a many-sources corpus at a high
+    # bucket count can cross the broadcast budget, and the big side is
+    # already hash-partitioned on the join keys from the window, so a
+    # forced broadcast is all downside when it doesn't fit
     return (
         base.withColumn("_loc", local_off)
-        .join(F.broadcast(bases), ["source", bkt])
+        .join(bases, ["source", bkt])
         .select(
             "source",
             "doc_id",

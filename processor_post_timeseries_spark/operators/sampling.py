@@ -73,9 +73,12 @@ def stratified_sample(
             F.sum("_c").over(w_all).cast("long").alias("_n"),
         )
     )
+    # no broadcast hint — same reasoning as pack_offsets: the summary
+    # frame is tiny for any sane strata count and AQE broadcasts it at
+    # runtime; an unbounded-strata corpus must not be forced to fit
     return (
         base.withColumn("_lr", F.row_number().over(w_local))
-        .join(F.broadcast(bases), [strata_col, "_bkt"])
+        .join(bases, [strata_col, "_bkt"])
         .withColumn("sample_rank", (F.col("_base") + F.col("_lr")).cast("int"))
         .filter(F.col("sample_rank") <= F.expr(f"(_n * {num} + {den - 1}) div {den}"))
         .select(strata_col, id_col, "sample_rank")

@@ -137,10 +137,14 @@ def exact_duplicate_runs(
     # suffixed with n+1 -> half-open island bounds (docs reaching this
     # point have >= 1 flagged position, so sequence(1, n) never counts
     # down)
+    # when-guard, not bare OR: element_at(arr, 0) raises under ANSI and
+    # only Spark's (undocumented-for-ANSI) Or short-circuit saves the
+    # i=1 case — CaseWhen's lazy branch evaluation is the guaranteed form
     starts = F.filter(
         F.sequence(F.lit(1), n),
-        lambda i: (i == F.lit(1))
-        | (F.element_at(arr, i) - F.element_at(arr, i - 1) > 1),
+        lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+            F.element_at(arr, i) - F.element_at(arr, i - 1) > 1
+        ),
     )
     bounds = F.concat(starts, F.array(n + 1))
     runs = F.transform(

@@ -183,5 +183,10 @@ def curate_and_pack(
         keep = keep.select(F.col("doc_id").cast("string").alias("doc_id"))
     else:
         seq = tokens_fn(docs)
+        # align key types: the audit carries docs' native id type while a
+        # custom tokens_fn may key doc_id differently (e.g. string)
+        keep = keep.select(
+            F.col("doc_id").cast(seq.schema["doc_id"].dataType).alias("doc_id")
+        )
     seq = seq.join(keep, "doc_id", "left_semi")
     return materialize_blocks(seq, ctx_len=ctx_len)

@@ -30,6 +30,9 @@ WAIVERS = {
     "aggregate onto the O(#sources) frame — bounded by construction",
     "l5_mixture_sample": "same 1-row global-min crossJoin inside the "
     "embedded l4 plan; the corpus side is a broadcast hash join + filter",
+    "curation_keepset": "the mixture stage embeds mixture_rates' 1-row "
+    "global-min crossJoin (the l4/l5 waiver); every corpus-sized join in "
+    "the DAG is hash/broadcast",
 }
 
 
