@@ -3091,6 +3091,49 @@ FROM f1 JOIN q USING (doc_id) LEFT JOIN thr ON thr.source = f1.source
 _REGISTRY["curation_keepset"] = _q_curation_keepset()
 
 
+def _q_tok_pack_incremental():
+    """Tokens+ — INCREMENTAL packing (operators/packing.py
+    pack_offsets_incremental): extend a packed corpus from only the
+    per-source (total, max_doc_id) checkpoint, no history re-scan.
+    Docs whose VARCHAR doc_id sorts below '3' play the already-packed
+    corpus; the rest arrive as the append batch (a valid append:
+    lexicographic split respects the packing order). The oracle replays
+    the FULL-corpus cumsum and restricts to the batch — certifying
+    incremental placement is bit-identical to re-packing everything."""
+    CTX = 512
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.packing import pack_offsets_incremental, pack_totals
+
+        seq = _char_tokens_df(spark, sf_dir)
+        existing = seq.filter(F.col("doc_id") < "3")
+        batch = seq.filter(F.col("doc_id") >= "3")
+        return pack_offsets_incremental(batch, pack_totals(existing), ctx_len=CTX)
+
+    return run, f"""
+WITH seq AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(length(text) AS BIGINT) AS n_tok
+  FROM documents WHERE length(text) > 0
+), o AS (
+  SELECT source, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+              AS BIGINT) AS "offset"
+  FROM seq
+)
+SELECT source, doc_id, n_tok, "offset",
+       "offset" // {CTX} AS first_block,
+       ("offset" + n_tok - 1) // {CTX} AS last_block
+FROM o WHERE doc_id >= '3'
+"""
+
+
+_REGISTRY["tok_pack_incremental"] = _q_tok_pack_incremental()
+
+
 def _q_text_repetition():
     """Text+ — within-doc repetition metrics (functions/text.py
     repetition_metrics): duplicate-bigram fraction and top-gram share,

@@ -163,6 +163,90 @@ def pack_offsets(
     )
 
 
+def pack_totals(
+    seq: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source packing checkpoint: (source, n_tok_total, max_doc_id)
+    over the already-packed corpus — the ONLY state incremental packing
+    needs (one tiny aggregate; persist it next to the blocks like
+    ``plans/lineage.py`` checkpoints)."""
+    return (
+        seq.filter(F.col(n_col) > 0)
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.sum(F.col(n_col).cast("long")).alias("n_tok_total"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def pack_offsets_incremental(
+    new_seq: DataFrame,
+    totals: DataFrame,
+    ctx_len: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+    bucket_prefix_len: int = 4,
+    enforce_append: bool = True,
+) -> DataFrame:
+    """Extend a packed corpus WITHOUT re-scanning it: placement for an
+    appended batch given only the ``pack_totals`` checkpoint. Because
+    packing is the doc_id-ordered concat, appends whose ids sort AFTER
+    every stored id of their source leave existing placements untouched
+    and the new batch's offsets are just (stored per-source total) +
+    (two-phase offsets within the batch) — bit-identical to re-packing
+    the full corpus (certified by the ``tok_pack_incremental`` oracle,
+    which replays the full cumsum and restricts to the new batch).
+
+    ``enforce_append=True`` raises mid-plan (``raise_error``, folded
+    into the offset expression so column pruning cannot drop the check)
+    if any new id does not sort strictly after its source's stored
+    ``max_doc_id`` — out-of-order appends would silently corrupt
+    placements otherwise. Unseen sources start at offset 0."""
+    p = pack_offsets(
+        new_seq, ctx_len, source_col, id_col, n_col, bucket_prefix_len
+    ).drop("first_block", "last_block")
+    t = totals.select("source", "n_tok_total", "max_doc_id")
+    j = p.join(t, "source", "left")
+    base = F.coalesce(F.col("n_tok_total"), F.lit(0))
+    if enforce_append:
+        ok = F.col("max_doc_id").isNull() | (F.col("doc_id") > F.col("max_doc_id"))
+        base = base + F.when(ok, F.lit(0).cast("long")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "incremental packing: doc %s does not sort after its "
+                    "source's stored max_doc_id %s — out-of-order appends "
+                    "would corrupt existing placements",
+                    F.col("doc_id").cast("string"),
+                    F.col("max_doc_id").cast("string"),
+                )
+            ).cast("long")
+        )
+    return (
+        j.withColumn("offset", (base + F.col("offset")).cast("long"))
+        .select("source", "doc_id", "n_tok", "offset")
+        .withColumn("first_block", F.expr(f"offset div {ctx_len}"))
+        .withColumn("last_block", F.expr(f"(offset + n_tok - 1) div {ctx_len}"))
+    )
+
+
+def merge_pack_totals(totals: DataFrame, new_totals: DataFrame) -> DataFrame:
+    """Checkpoint update after an append: totals ⊎ new batch totals
+    (sum tokens, max id per source) — the next increment's input."""
+    return (
+        totals.unionByName(new_totals)
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok_total").cast("long").alias("n_tok_total"),
+            F.max("max_doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 def pack_manifest(
     seq: DataFrame,
     ctx_len: int,

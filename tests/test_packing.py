@@ -146,6 +146,56 @@ def test_integral_doc_ids_bucket_and_pack(spark):
     assert [r["offset"] for r in out] == [0, 3, 6, 9, 12, 15, 18]
 
 
+def test_incremental_matches_full_repack(spark):
+    from processor_post_timeseries_spark.operators.packing import (
+        merge_pack_totals,
+        pack_offsets_incremental,
+        pack_totals,
+    )
+
+    rows = [(f"d{i:03d}", 1 + i % 9, f"s{i % 2}") for i in range(40)]
+    full = {r["doc_id"]: tuple(r) for r in pack_offsets(_seq(spark, rows), 16).collect()}
+    existing = [r for r in rows if r[0] < "d020"]
+    batch = [r for r in rows if r[0] >= "d020"]
+    t = pack_totals(_seq(spark, existing))
+    inc = pack_offsets_incremental(_seq(spark, batch), t, ctx_len=16).collect()
+    assert {r["doc_id"]: tuple(r) for r in inc} == {
+        d: v for d, v in full.items() if d >= "d020"
+    }
+    # checkpoint merge advances to the full-corpus totals
+    merged = merge_pack_totals(t, pack_totals(_seq(spark, batch)))
+    want = pack_totals(_seq(spark, rows))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_unseen_source_starts_at_zero(spark):
+    from processor_post_timeseries_spark.operators.packing import (
+        pack_offsets_incremental,
+        pack_totals,
+    )
+
+    t = pack_totals(_seq(spark, [("a", 7, "old")]))
+    out = pack_offsets_incremental(
+        _seq(spark, [("b", 3, "brandnew")]), t, ctx_len=4
+    ).collect()
+    assert out[0]["offset"] == 0
+
+
+def test_incremental_rejects_out_of_order_append(spark):
+    from processor_post_timeseries_spark.operators.packing import (
+        pack_offsets_incremental,
+        pack_totals,
+    )
+
+    t = pack_totals(_seq(spark, [("m", 7, "s")]))
+    bad = _seq(spark, [("a", 3, "s")])  # 'a' < stored max 'm'
+    with pytest.raises(Exception, match="out-of-order"):
+        pack_offsets_incremental(bad, t, ctx_len=4).collect()
+    # enforcement off: caller takes responsibility, placement proceeds
+    out = pack_offsets_incremental(bad, t, ctx_len=4, enforce_append=False).collect()
+    assert out[0]["offset"] == 7
+
+
 def test_zero_token_docs_dropped(spark):
     df = _seq(spark, [("a", 0, "s"), ("b", 3, "s")])
     out = pack_offsets(df, ctx_len=4).collect()
