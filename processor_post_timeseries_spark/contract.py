@@ -3134,6 +3134,113 @@ FROM o WHERE doc_id >= '3'
 _REGISTRY["tok_pack_incremental"] = _q_tok_pack_incremental()
 
 
+_DUCK_Q8_CTE = """
+xb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, x,
+         COALESCE(list_max(list_transform(x, v -> abs(v))), 0) AS s
+  FROM xb
+), q8 AS (
+  SELECT vec_id, s,
+         CASE WHEN s = 0 THEN list_transform(x, v -> 0)
+              ELSE list_transform(x, v -> CAST(round(127.0 * v / s) AS INTEGER))
+         END AS q
+  FROM sc
+)"""
+
+
+def _q_ann_quantize_roundtrip():
+    """ANN+ — int8 embedding quantization + dequantization error
+    (operators/similarity.py quantize_embeddings/dequantize_embeddings):
+    per-vector (scale, L1 mass of q, max reconstruction error). The
+    oracle replays the away-from-zero rounding and the q·scale/127
+    inverse in SQL — certifying the exact quantized representation, not
+    just its shape."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import quantize_embeddings
+
+        load_views(spark, sf_dir)
+        q8 = quantize_embeddings(spark.table("embeddings"))
+        orig = spark.table("embeddings").select(
+            "vec_id", F.col("embedding").alias("_x")
+        )
+        return q8.join(orig, "vec_id").select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+            ).alias("q_l1"),
+            F.round(
+                F.array_max(
+                    F.zip_with(
+                        "q",
+                        "_x",
+                        lambda a, b: F.abs(
+                            a.cast("double") * F.col("scale") / F.lit(127.0)
+                            - b.cast("double")
+                        ),
+                    )
+                ),
+                6,
+            ).alias("max_abs_err"),
+        )
+
+    return run, f"""
+WITH {_DUCK_Q8_CTE}
+SELECT q8.vec_id,
+       ROUND(q8.s, 9) AS scale,
+       CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+       ROUND(list_max(list_transform(range(1, len(q) + 1),
+             i -> abs(q[i] * q8.s / 127.0 - x[i]))), 6) AS max_abs_err
+FROM q8 JOIN sc ON sc.vec_id = q8.vec_id
+"""
+
+
+_REGISTRY["ann_quantize_roundtrip"] = _q_ann_quantize_roundtrip()
+
+
+def _q_ann_cosine_topk_q8():
+    """ANN+ — brute-force cosine top-k on the int8-QUANTIZED vectors
+    (operators/similarity.py cosine_topk_q8): integer dot products, one
+    double division, same rank/tiebreak contract as the float path. The
+    per-vector scales cancel in the cosine ratio, so this is the 4×-
+    smaller-shuffle production variant of ann_cosine_topk; the oracle
+    replays quantization AND search."""
+
+    def run(spark, sf_dir):
+        from .operators.similarity import cosine_topk_q8
+
+        load_views(spark, sf_dir)
+        return cosine_topk_q8(spark.table("embeddings"), k=5, n_queries=20)
+
+    return run, f"""
+WITH {_DUCK_Q8_CTE}, v AS (
+  SELECT vec_id, q, sqrt(list_sum(list_transform(q, y -> CAST(y AS DOUBLE) * y))) AS qnorm
+  FROM q8
+), pairs AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         COALESCE(ROUND(list_sum(list_transform(range(1, len(a.q) + 1),
+                        i -> CAST(a.q[i] AS DOUBLE) * c.q[i]))
+               / NULLIF(a.qnorm * c.qnorm, 0), 6), 0.0) AS cos_sim_q8
+  FROM v a JOIN v c ON a.vec_id <> c.vec_id
+  WHERE a.vec_id < 20
+)
+SELECT query_id, neighbor_id, rank, cos_sim_q8 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_q8 DESC, neighbor_id) AS rank
+  FROM pairs
+) x WHERE rank <= 5
+"""
+
+
+_REGISTRY["ann_cosine_topk_q8"] = _q_ann_cosine_topk_q8()
+
+
 def _q_text_repetition():
     """Text+ — within-doc repetition metrics (functions/text.py
     repetition_metrics): duplicate-bigram fraction and top-gram share,

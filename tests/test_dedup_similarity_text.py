@@ -151,6 +151,40 @@ def test_multimodal_plumbing(spark):
     assert all(r["n_samples"] == len(r["sample_offsets"]) for r in plan)
 
 
+def test_quantize_roundtrip_and_q8_cosine(spark):
+    from processor_post_timeseries_spark.operators.similarity import (
+        cosine_topk_q8,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),     # near 0
+        (2, [0.0, 1.0, 0.0]),     # orthogonal to 0
+        (3, [0.0, 0.0, 0.0]),     # zero vector
+        (4, [-0.5, 0.25, 0.125]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q8 = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert q8[3]["scale"] == 0.0 and list(q8[3]["q"]) == [0, 0, 0]
+    assert list(q8[0]["q"]) == [127, 0, 0]
+    assert list(q8[4]["q"]) == [-127, 64, 32]  # round away from zero
+    # reconstruction error bounded by scale/254 per coordinate
+    deq = {r["vec_id"]: list(r["embedding"]) for r in dequantize_embeddings(quantize_embeddings(emb)).collect()}
+    for vid, orig in rows:
+        for a, b in zip(deq[vid], orig):
+            assert abs(a - b) <= (q8[vid]["scale"] / 254.0) + 1e-12
+    # quantized cosine ranks the obvious geometry correctly
+    top = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_q8(emb, k=2, n_queries=1).collect()
+    }
+    # near-duplicate first; orthogonal (sim 0) beats the zero vector
+    # (also 0, loses the id tiebreak) and the anti-correlated v4 (-0.5)
+    assert top[(0, 1)] == 1 and top[(0, 2)] == 2
+
+
 def test_ann_ivf_recall_on_clustered_data(spark):
     from processor_post_timeseries_spark.operators.similarity import ann_ivf_topk
 
