@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     # round-3 operators
     "dedup_span_report",
     "tok_pack_manifest",
+    # round-4 operators
+    "curation_keepset",
+    "ann_cosine_topk_q8",
 ]
 
 
