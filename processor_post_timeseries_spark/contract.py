@@ -2982,44 +2982,53 @@ FROM g2 GROUP BY doc_id, isl
 _REGISTRY["dedup_exact_runs"] = _q_dedup_exact_runs()
 
 
-def _q_curation_keepset():
-    """Curation+ — the END-TO-END corpus-curation DAG
-    (plans/curation.py::curate): exact dedup -> benchmark
-    decontamination -> quality floor -> domain-mixture draw, audited as
-    one row per input doc with the FIRST stage that removed it (or
-    'kept'). Docs with doc_id % 50 == 0 play the benchmark; the rest
-    are the corpus. The oracle replays every stage — keeper-min digest
-    groups, the 5-gram overlap, the quality formula, the full-outer
-    mixture arithmetic, and the md5-prefix draw — in one SQL query, so
-    the COMPOSITION (stage ordering, survivor-dependent mixture
-    availability) is certified, not just each operator alone.
-    (Near-dup clustering is certified separately via dedup_components
-    and composed in pytest: its recursive-CTE replay inside this query
-    would dwarf everything else.)"""
-    Q = 0.55
-    TGT = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
-
-    def run(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from .plans.curation import curate
-
-        load_views(spark, sf_dir)
-        docs = spark.table("documents")
-        return curate(
-            docs.filter(F.col("doc_id") % 50 != 0),
-            docs.filter(F.col("doc_id") % 50 == 0),
-            contam_n=5,
-            min_quality=Q,
-            targets=TGT,
+def _curation_oracle_sql(Q: float, tgt_rows: str, stop_list: str, neardup: bool) -> str:
+    """One generator for both curation oracles — the non-near-dup form
+    and the full-DAG form with the LSH + recursive-components replay —
+    so the shared stages cannot drift between them."""
+    if neardup:
+        mins = ",\n         ".join(
+            f"MIN(md5('{k}' || ':' || shingle)) AS h{k:02d}" for k in range(16)
         )
-
-    tgt_rows = ", ".join(f"('{s}', {p})" for s, p in TGT.items())
-    stop_list = "', '".join(
-        ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
-    )
-    return run, f"""
-WITH corpus AS (
+        band_selects = []
+        for bb in range(4):
+            cols = " || '|' || ".join(f"h{bb * 4 + i:02d}" for i in range(4))
+            band_selects.append(
+                f"SELECT doc_id, {bb} AS band_no, md5({cols}) AS band_hash FROM sig"
+            )
+        bands = " UNION ALL ".join(band_selects)
+        nd_ctes = f""", sh3 AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh3
+  WHERE doc_id IN (SELECT doc_id FROM f1 WHERE NOT exact_dup)
+  GROUP BY doc_id
+), bands AS ({bands}), prs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b USING (band_no, band_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+reach(u, lbl) AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+), neardup AS (
+  SELECT u AS doc_id FROM (SELECT u, MIN(lbl) AS comp_id FROM reach GROUP BY u)
+  WHERE u <> comp_id
+)"""
+        nd_case = "WHEN f1.doc_id IN (SELECT doc_id FROM neardup) THEN 'near_dup'\n            "
+        nd_s3 = "AND f1.doc_id NOT IN (SELECT doc_id FROM neardup)\n    "
+        recursive = "RECURSIVE "
+    else:
+        nd_ctes, nd_case, nd_s3, recursive = "", "", "", ""
+    return f"""
+WITH {recursive}corpus AS (
   SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_tok
   FROM documents WHERE doc_id % 50 <> 0
 ), keeper AS (
@@ -3029,7 +3038,7 @@ WITH corpus AS (
   FROM corpus c JOIN keeper k ON md5(c.text) = k.h
 ), words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), sh AS (
+){nd_ctes}, sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
   FROM words WHERE len(w) >= 5
@@ -3054,7 +3063,7 @@ WITH corpus AS (
 ), s3 AS (
   SELECT f1.source, f1.n_tok FROM f1 JOIN q USING (doc_id)
   WHERE NOT f1.exact_dup
-    AND f1.doc_id NOT IN (SELECT doc_id FROM contam)
+    {nd_s3}AND f1.doc_id NOT IN (SELECT doc_id FROM contam)
     AND q.quality >= {Q}
 ), avail AS (
   SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tok_avail FROM s3 GROUP BY source
@@ -3079,13 +3088,91 @@ WITH corpus AS (
 )
 SELECT f1.doc_id, f1.source, f1.n_tok,
        CASE WHEN f1.exact_dup THEN 'exact_dup'
-            WHEN f1.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+            {nd_case}WHEN f1.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
             WHEN q.quality < {Q} THEN 'low_quality'
             WHEN NOT (substring(md5(CAST(f1.doc_id AS VARCHAR)), 1, 8)
                       < COALESCE(thr.thresh, '0')) THEN 'mixture_out'
             ELSE 'kept' END AS stage
 FROM f1 JOIN q USING (doc_id) LEFT JOIN thr ON thr.source = f1.source
 """
+
+
+_CURATION_Q = 0.55
+_CURATION_TGT = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_CURATION_TGT_ROWS = ", ".join(f"('{s}', {p})" for s, p in _CURATION_TGT.items())
+_CURATION_STOPS = "', '".join(
+    ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+)
+
+
+def _q_curation_keepset():
+    """Curation+ — the END-TO-END corpus-curation DAG
+    (plans/curation.py::curate): exact dedup -> benchmark
+    decontamination -> quality floor -> domain-mixture draw, audited as
+    one row per input doc with the FIRST stage that removed it (or
+    'kept'). Docs with doc_id % 50 == 0 play the benchmark; the rest
+    are the corpus. The oracle replays every stage — keeper-min digest
+    groups, the 5-gram overlap, the quality formula, the full-outer
+    mixture arithmetic, and the md5-prefix draw — in one SQL query, so
+    the COMPOSITION (stage ordering, survivor-dependent mixture
+    availability) is certified, not just each operator alone. The
+    near-dup variant is curation_keepset_neardup."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .plans.curation import curate
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        return curate(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            contam_n=5,
+            min_quality=_CURATION_Q,
+            targets=_CURATION_TGT,
+        )
+
+    return run, _curation_oracle_sql(
+        _CURATION_Q, _CURATION_TGT_ROWS, _CURATION_STOPS, neardup=False
+    )
+
+
+def _q_curation_keepset_neardup():
+    """Curation+ FULL DAG — curation_keepset with the near-dup stage ON:
+    MinHash-LSH candidate pairs (md5 family, uncapped like the
+    dedup_minhash_lsh oracle) + connected components over the
+    exact-dedup survivors; non-representative members (doc_id !=
+    comp_id) drop at the near_dup stage, and the mixture availability is
+    computed over the post-near-dup-post-quality survivors. The oracle
+    replays the LSH banding AND the recursive transitive closure inside
+    the same composed query — all five stages certified end to end."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .plans.curation import curate
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        return curate(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            contam_n=5,
+            min_quality=_CURATION_Q,
+            targets=_CURATION_TGT,
+            near_dup=True,
+            hash_fn="md5",
+            lsh_max_bucket_size=None,
+        )
+
+    return run, _curation_oracle_sql(
+        _CURATION_Q, _CURATION_TGT_ROWS, _CURATION_STOPS, neardup=True
+    )
+
+
+_REGISTRY["curation_keepset_neardup"] = _q_curation_keepset_neardup()
+
 
 
 _REGISTRY["curation_keepset"] = _q_curation_keepset()

@@ -54,6 +54,7 @@ def curate(
     source_col: str = "source",
     salt: str = "",
     hash_fn: str = "xxh64",
+    lsh_max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Audit frame (doc_id, source, n_tok, stage): pipeline-order stage
     attribution per input doc. ``n_tok`` is the char-token count
@@ -92,6 +93,7 @@ def curate(
             n_bands,
             n_sh,
             hash_fn=hash_fn,
+            max_bucket_size=lsh_max_bucket_size,
         )
         comp = duplicate_components(pairs).filter(
             F.col("doc_id") != F.col("comp_id")

@@ -33,6 +33,9 @@ WAIVERS = {
     "curation_keepset": "the mixture stage embeds mixture_rates' 1-row "
     "global-min crossJoin (the l4/l5 waiver); every corpus-sized join in "
     "the DAG is hash/broadcast",
+    "curation_keepset_neardup": "same embedded 1-row global-min crossJoin "
+    "as curation_keepset; the added LSH/components stages are hash joins "
+    "+ the bounded components loop",
     "ann_cosine_topk_q8": "broadcast of the BOUNDED 20-row query side "
     "against the streaming corpus (query_id != neighbor_id is non-equi, "
     "hence BNL) — the brute-force baseline's intended product, same "
