@@ -131,19 +131,22 @@ def main(argv: list[str] | None = None) -> int:
         kw = dict(
             min_quality=args.min_quality, targets=targets, near_dup=args.near_dup
         )
-        audit = curate(docs, bench, **kw)
+        drop_stats: dict = {}
+        audit = curate(docs, bench, drop_stats=drop_stats, **kw)
         audit.write.mode("overwrite").parquet(f"{args.out}/audit")
-        curate_and_pack(docs, bench, ctx_len=args.ctx_len, **kw).write.mode(
-            "overwrite"
-        ).parquet(f"{args.out}/blocks")
+        # pack from the audit parquet just written — the curation DAG
+        # (LSH near-dup, decontam, exact-dedup shuffle) runs exactly once
+        audit_pq = spark.read.parquet(f"{args.out}/audit")
+        curate_and_pack(
+            docs, bench, ctx_len=args.ctx_len, audit=audit_pq, **kw
+        ).write.mode("overwrite").parquet(f"{args.out}/blocks")
         stages = {
             r["stage"]: r["n"]
-            for r in spark.read.parquet(f"{args.out}/audit")
-            .groupBy("stage")
+            for r in audit_pq.groupBy("stage")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        print(json.dumps({"mode": "curate", "stages": stages}))
+        print(json.dumps({"mode": "curate", "stages": stages, **drop_stats}))
         spark.stop()
         return 0
 

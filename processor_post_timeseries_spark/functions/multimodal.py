@@ -116,6 +116,22 @@ def _image_features(payload: bytes) -> np.ndarray:
     return np.clip(_grid_means(gray, 4, 4) / 255.0, 0.0, 1.0).astype(np.float32)
 
 
+def _frame_to_mono(frame) -> np.ndarray:
+    """Downmix one PyAV audio frame to mono, handling BOTH layouts
+    ``to_ndarray()`` can return: planar formats give (channels, samples)
+    — average across axis 0 — while PACKED formats (e.g. s16) give
+    (1, samples*channels) interleaved, where a naive ``mean(axis=0)``
+    is a no-op that leaves channels interleaved in time. Packed frames
+    are de-interleaved by reshaping to (samples, channels) first."""
+    arr = frame.to_ndarray().astype(np.float64)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    nch = len(frame.layout.channels)
+    if nch > 1 and arr.shape[0] == 1 and not frame.format.is_planar:
+        arr = arr.reshape(-1, nch).T
+    return arr.mean(axis=0)
+
+
 def _audio_features(payload: bytes) -> np.ndarray:
     if _av is None:
         raise NotImplementedError(
@@ -124,8 +140,7 @@ def _audio_features(payload: bytes) -> np.ndarray:
         )
     with _av.open(io.BytesIO(bytes(payload))) as container:
         frames = [
-            f.to_ndarray().astype(np.float64).mean(axis=0)  # downmix to mono
-            for f in container.decode(audio=0)
+            _frame_to_mono(f) for f in container.decode(audio=0)
         ]
     samples = np.concatenate(frames) if frames else np.zeros(16)
     chunks = np.array_split(samples, 16)

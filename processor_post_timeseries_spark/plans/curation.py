@@ -55,13 +55,22 @@ def curate(
     salt: str = "",
     hash_fn: str = "xxh64",
     lsh_max_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Audit frame (doc_id, source, n_tok, stage): pipeline-order stage
     attribution per input doc. ``n_tok`` is the char-token count
     (``length(text)``, the engine's documents->sequences convention).
     ``near_dup=True`` inserts LSH+components clustering after exact
     dedup (``hash_fn`` selects the family; keep md5 for an engine-
-    portable replay). ``targets=None`` skips the mixture stage."""
+    portable replay). ``targets=None`` skips the mixture stage.
+
+    ``drop_stats``: pass a dict to surface the LSH skew-cap's drop
+    accounting — it is filled (eagerly: one extra bounded aggregation
+    job over the band buckets) with ``{"lsh_n_dropped", "lsh_n_affected_buckets",
+    "lsh_max_bucket"}`` so a capped production run REPORTS what the cap
+    truncated instead of silently narrowing recall
+    (``operators/dedup.py:lsh_bucket_stats``). No-op unless
+    ``near_dup=True``."""
     from ..functions.text import quality_score
     from ..operators.decontam import contamination_report
 
@@ -98,6 +107,25 @@ def curate(
         comp = duplicate_components(pairs).filter(
             F.col("doc_id") != F.col("comp_id")
         ).select("doc_id", F.lit(True).alias("_near_dup"))
+        if drop_stats is not None:
+            from ..operators.dedup import lsh_bucket_stats
+
+            stats = lsh_bucket_stats(
+                surv.select("doc_id", F.col("_text").alias(text_col)),
+                n_hashes,
+                n_bands,
+                n_sh,
+                max_bucket_size=lsh_max_bucket_size,
+                hash_fn=hash_fn,
+            )
+            row = stats.agg(
+                F.sum("n_dropped").alias("nd"),
+                F.sum((F.col("n_dropped") > 0).cast("long")).alias("nb"),
+                F.max("n_docs").alias("mx"),
+            ).collect()[0]
+            drop_stats["lsh_n_dropped"] = int(row["nd"] or 0)
+            drop_stats["lsh_n_affected_buckets"] = int(row["nb"] or 0)
+            drop_stats["lsh_max_bucket"] = int(row["mx"] or 0)
         d = d.join(comp, "doc_id", "left")
         surv = surv.join(comp, "doc_id", "left_anti")
     else:
@@ -162,6 +190,7 @@ def curate_and_pack(
     benchmark: DataFrame,
     ctx_len: int,
     tokens_fn=None,
+    audit: DataFrame | None = None,
     **curate_kwargs,
 ) -> DataFrame:
     """The full raw->examples path: ``curate`` keepset joined back to
@@ -170,10 +199,16 @@ def curate_and_pack(
     must supply (doc_id, tokens, n_tok, source); default is the
     char-token convention. One extra broadcast-or-shuffle semi-join of
     the keepset onto the sequence table — the keepset ids are the only
-    new exchange."""
+    new exchange.
+
+    ``audit``: a precomputed/materialized ``curate`` audit frame — pass
+    the parquet you already wrote so the expensive curation stages
+    (LSH near-dup, decontamination, the exact-dedup shuffle) run ONCE
+    per pipeline, not once per consumer."""
     from ..operators.packing import materialize_blocks
 
-    audit = curate(docs, benchmark, **curate_kwargs)
+    if audit is None:
+        audit = curate(docs, benchmark, **curate_kwargs)
     keep = audit.filter(F.col("stage") == "kept").select("doc_id")
     if tokens_fn is None:
         seq = docs.select(

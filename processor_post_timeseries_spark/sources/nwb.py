@@ -109,12 +109,19 @@ def _series_scaling(f, grp) -> dict:
     session_start_secs = 0.0
     sst = f.get("session_start_time")
     if sst is not None:
-        from datetime import datetime
+        from datetime import datetime, timezone
 
         v = sst[()]
         if isinstance(v, bytes):
             v = v.decode()
-        session_start_secs = datetime.fromisoformat(str(v)).timestamp()
+        dt = datetime.fromisoformat(str(v))
+        if dt.tzinfo is None:
+            # a naive ISO string must not mean "worker-local time": the
+            # reference gets a tz-aware datetime from pynwb, so its
+            # .timestamp() is machine-independent — pin naive to UTC so
+            # emitted µs timestamps are too
+            dt = dt.replace(tzinfo=timezone.utc)
+        session_start_secs = dt.timestamp()
     return {
         "conversion": conversion,
         "offset": offset,

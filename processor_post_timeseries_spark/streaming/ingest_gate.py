@@ -132,47 +132,35 @@ def compact_hash_index(
     spark: SparkSession, out_dir: str, keep_last: int = 1
 ) -> int:
     """Offline index maintenance: fold completed batches' hash
-    partitions into one ``batch=-1`` partition (still ``_hp``-prefix
-    partitioned, distinct within prefix) so a long-lived stream's index
-    stays O(prefixes) directories instead of O(batches). Returns how
-    many batch partitions were compacted.
+    partitions into one compacted partition (named ``batch=-1`` when the
+    run completes; still ``_hp``-prefix partitioned, distinct within
+    prefix) so a long-lived stream's index stays O(prefixes) directories
+    instead of O(batches). Returns how many real (non-negative) batch
+    partitions were folded.
 
-    Safety rules (both enforced by convention, documented here):
+    Safety rules:
     * run while the stream is STOPPED. A batch the checkpoint has not
       committed may be replayed, and a replayed batch excludes only its
-      OWN partition — hashes folded into ``batch=-1`` would make it
-      self-exclude and lose rows. ``keep_last`` newest batches are kept
-      un-compacted as the safety margin for exactly that window.
-    * crash tolerance: the compacted partition is written BEFORE the
-      source partitions are removed; a crash in between leaves
-      duplicate hash rows, which the anti-join is insensitive to, and a
-      re-run converges."""
+      OWN partition — hashes folded into the compacted partition would
+      make it self-exclude and lose rows. ``keep_last`` newest batches
+      are kept un-compacted as the safety margin for exactly that window.
+    * crash tolerance: the READABLE index (the union of ``batch=*``
+      partitions) never loses a hash. The merged partition is first
+      staged OUTSIDE the index, then moved IN under a fresh negative
+      generation id — only once that superset is visible are the source
+      partitions deleted, and the final rename to ``batch=-1`` is pure
+      tidying. A crash at any point leaves either a stale invisible
+      staging dir (removed on the next run — the index is complete
+      without it), duplicate hash rows across partitions (the anti-join
+      is insensitive to duplicates), or an orphan negative generation
+      (folded/renamed by the next run). Every negative batch id is a
+      valid, complete compacted generation; real batch ids are ≥ 0, so
+      generations can never collide with a replayed batch's
+      self-exclusion filter."""
     import shutil
     from urllib.parse import urlparse
 
     idx_path = _index_path(out_dir)
-    hashes = _read_admitted_hashes(spark, out_dir, batch_id=-(2**62))
-    if hashes is None:
-        return 0
-    batches = sorted(
-        int(r["batch"]) for r in hashes.select("batch").distinct().collect()
-    )
-    victims = [b for b in batches if b != -1]
-    victims = victims[: max(len(victims) - keep_last, 0)]
-    if not victims:
-        return 0
-    merged = (
-        hashes.filter(F.col("batch").isin([-1] + victims))
-        .select("_h", "_hp")
-        .distinct()
-    )
-    # stage the new compacted partition OUTSIDE the index dir (an
-    # underscore sibling: invisible to both lake readers and index
-    # partition discovery, even if a crash leaves it behind), then swap —
-    # the live batch=-1 dir must not be overwritten in place while it is
-    # also an input of this very job
-    staged = f"{out_dir.rstrip('/')}/_hash_index_staging"
-    merged.write.partitionBy("_hp").mode("overwrite").parquet(staged)
     p = urlparse(idx_path)
     if p.scheme not in ("", "file"):  # local-FS seam, like legacy_export
         raise NotImplementedError(
@@ -180,11 +168,42 @@ def compact_hash_index(
             "use a rename-capable FileSystem client for object stores"
         )
     root = p.path if p.scheme == "file" else idx_path
-    staged = urlparse(staged).path if p.scheme == "file" else staged
-    shutil.rmtree(f"{root}/batch=-1", ignore_errors=True)
-    for b in victims:
+    staged = f"{out_dir.rstrip('/')}/_hash_index_staging"
+    staged_local = urlparse(staged).path if p.scheme == "file" else staged
+    # a stale staging dir means a prior run crashed BEFORE its move —
+    # the readable index is complete without it, so it is safe to drop
+    shutil.rmtree(staged_local, ignore_errors=True)
+
+    hashes = _read_admitted_hashes(spark, out_dir, batch_id=-(2**62))
+    if hashes is None:
+        return 0
+    batches = sorted(
+        int(r["batch"]) for r in hashes.select("batch").distinct().collect()
+    )
+    negs = [b for b in batches if b < 0]  # compacted generations (all valid)
+    nonneg = [b for b in batches if b >= 0]
+    victims = nonneg[: max(len(nonneg) - keep_last, 0)]
+    if not victims:
+        if negs and negs != [-1]:
+            # crash recovery only: fold orphan generations into batch=-1
+            sources = negs
+        else:
+            return 0
+    else:
+        sources = victims + negs
+    merged = (
+        hashes.filter(F.col("batch").isin(sources)).select("_h", "_hp").distinct()
+    )
+    # stage OUTSIDE the index (underscore sibling: invisible to lake
+    # readers and index partition discovery even if a crash leaves it)
+    merged.write.partitionBy("_hp").mode("overwrite").parquet(staged)
+    # move IN as a fresh negative generation: from this point the index
+    # is a superset of its pre-compaction self, so deletes cannot lose
+    new_gen = min(negs, default=-1) - 1
+    shutil.move(staged_local, f"{root}/batch={new_gen}")
+    for b in sources:
         shutil.rmtree(f"{root}/batch={b}", ignore_errors=True)
-    shutil.move(staged, f"{root}/batch=-1")
+    shutil.move(f"{root}/batch={new_gen}", f"{root}/batch=-1")
     return len(victims)
 
 

@@ -136,3 +136,58 @@ def test_curate_and_pack_blocks_only_from_keepset(spark):
     total = sum(r["n_tokens"] for r in blocks)
     assert total == len(GOOD)  # only doc 1 packs; dup + contaminated dropped
     assert all(r["n_tokens"] <= 32 for r in blocks)
+
+
+def test_curate_and_pack_reuses_precomputed_audit(spark, tmp_path):
+    """--curate's shape: packing from the materialized audit parquet is
+    identical to re-running the DAG (the double-execution fix)."""
+    bench = _docs(spark, [(900, "q w e r t y u i o p", "bench")])
+    docs = _docs(
+        spark,
+        [(1, GOOD, "a"), (2, GOOD, "a"), (3, "x q w e r t y z z z", "a")],
+    )
+    path = str(tmp_path / "audit")
+    curate(docs, bench, min_quality=0.0).write.parquet(path)
+    audit_pq = spark.read.parquet(path)
+    via_audit = curate_and_pack(
+        docs, bench, ctx_len=32, min_quality=0.0, audit=audit_pq
+    ).collect()
+    direct = curate_and_pack(docs, bench, ctx_len=32, min_quality=0.0).collect()
+    key = lambda r: (r["source"], r["block_no"] if "block_no" in r.__fields__ else 0, r["n_tokens"])
+    assert sorted(map(key, via_audit)) == sorted(map(key, direct))
+    assert sum(r["n_tokens"] for r in via_audit) == len(GOOD)
+
+
+def test_curate_drop_stats_surfaces_lsh_cap_truncation(spark):
+    """A degenerate corpus (many near-identical docs) with a tiny LSH
+    bucket cap must REPORT its drop count through curate's metrics, not
+    silently truncate recall (VERDICT r4 ask #6)."""
+    bench = _docs(spark, [(900, "totally unrelated benchmark words", "bench")])
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    # 12 UNIQUE docs (exact dedup keeps all) differing only in the last
+    # token -> near-identical shingle sets, shared band buckets
+    rows = [(i, base + f" tail{i}", "a") for i in range(12)]
+    docs = _docs(spark, rows)
+    stats: dict = {}
+    audit = curate(
+        docs,
+        bench,
+        near_dup=True,
+        lsh=(16, 8, 3),
+        min_quality=0.0,
+        hash_fn="md5",
+        lsh_max_bucket_size=4,
+        drop_stats=stats,
+    )
+    audit.count()  # materialize the DAG; stats were filled eagerly at build
+    assert stats["lsh_n_dropped"] > 0
+    assert stats["lsh_n_affected_buckets"] > 0
+    assert stats["lsh_max_bucket"] > 4
+    # uncapped control: same corpus, no cap -> zero drops reported
+    stats2: dict = {}
+    curate(
+        docs, bench, near_dup=True, lsh=(16, 8, 3), min_quality=0.0,
+        hash_fn="md5", lsh_max_bucket_size=None, drop_stats=stats2,
+    )
+    assert stats2["lsh_n_dropped"] == 0

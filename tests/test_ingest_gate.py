@@ -222,3 +222,47 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     write_admitted_batch(batch, out_dir, 7)  # and a second replay
     out = spark.read.parquet(out_dir)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_compact_hash_index_crash_recovery(spark, tmp_path):
+    """The readable index never loses hashes across compaction crash
+    points (ADVICE r4 medium): a stale staging dir is dropped (index is
+    complete without it), and an orphan negative generation left by a
+    crash between the deletes and the final rename is folded back into
+    batch=-1 with decisions unchanged."""
+    import shutil
+    from pathlib import Path
+
+    from processor_post_timeseries_spark.streaming.ingest_gate import (
+        compact_hash_index,
+        dedup_against_admitted,
+        write_hash_index_batch,
+    )
+
+    out_dir = str(tmp_path / "out")
+    texts = ["a b c d e f", "g h i j k l", "m n o p q r"]
+    for b, t in enumerate(texts):
+        wave = _docs(spark, [(b * 10, t)])
+        write_admitted_batch(wave, out_dir, b)
+        write_hash_index_batch(wave, out_dir, b)
+    idx = Path(out_dir, "_hash_index")
+
+    # crash point A: staged write completed, move never happened
+    shutil.copytree(idx / "batch=0", Path(out_dir, "_hash_index_staging"))
+    assert compact_hash_index(spark, out_dir, keep_last=1) == 2
+    assert not Path(out_dir, "_hash_index_staging").exists()
+    dirs = sorted(p.name for p in idx.glob("batch=*"))
+    assert dirs == ["batch=-1", "batch=2"]
+
+    # crash point B: deletes done, final rename to batch=-1 missed —
+    # simulate by renaming the compacted generation to an orphan id
+    shutil.move(str(idx / "batch=-1"), str(idx / "batch=-3"))
+    # recovery run reports 0 real batches folded but restores batch=-1
+    assert compact_hash_index(spark, out_dir, keep_last=1) == 0
+    dirs = sorted(p.name for p in idx.glob("batch=*"))
+    assert dirs == ["batch=-1", "batch=2"]
+
+    # decisions unchanged through both recoveries
+    batch = _docs(spark, [(50, texts[0]), (51, texts[1]), (52, texts[2]), (53, "s t u v w x")])
+    surv = dedup_against_admitted(spark, batch, out_dir, batch_id=9)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [53]
