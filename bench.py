@@ -73,6 +73,12 @@ BENCH_QUERIES = [
     # round-4 operators
     "curation_keepset",
     "ann_cosine_topk_q8",
+    # round-5 operators
+    "train_order_manifest",
+    "m4_downsample",
+    "decontaminate_bloom",
+    "bpe_train_merges",
+    "lm_avg_prob",
 ]
 
 

@@ -793,12 +793,11 @@ FROM documents GROUP BY 1
 """
 
 
-def _char_tokens_df(spark, sf_dir):
-    """documents -> input_hint-shaped sequences with ascii-code tokens."""
+def _char_tokens_of(docs):
+    """Any documents-shaped frame -> input_hint-shaped sequences with
+    ascii-code tokens."""
     from pyspark.sql import functions as F
 
-    load_views(spark, sf_dir)
-    docs = spark.table("documents")
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.transform(
@@ -807,6 +806,12 @@ def _char_tokens_df(spark, sf_dir):
         F.length("text").cast("int").alias("n_tok"),
         F.col("source"),
     ).filter(F.col("n_tok") > 0)
+
+
+def _char_tokens_df(spark, sf_dir):
+    """documents -> input_hint-shaped sequences with ascii-code tokens."""
+    load_views(spark, sf_dir)
+    return _char_tokens_of(spark.table("documents"))
 
 
 def _q_rollup_tier_parity():
@@ -3551,3 +3556,682 @@ FROM sl GROUP BY source, block_id
 
 
 _REGISTRY["tok_pack_blocks"] = _q_tok_pack_blocks()
+
+
+# ==========================================================================
+# Batch 5 — round-5 extensions: the multimodal decode seam EXECUTED in
+# this env (pure-numpy BMP/WAV codecs, VERDICT r4 ask #4). Payloads are
+# synthesized deterministically from doc_id so DuckDB replays the pixel /
+# sample formulas directly; the Spark side round-trips real bytes through
+# encode -> distributed decode.
+# ==========================================================================
+
+_MM_DOCS = 3000  # doc_id bound: ~1000 payloads per modality at any sf
+
+
+def _q_multimodal_features():
+    """Media+ — REAL image decode through the distributed seam: 16x16
+    24-bit BMP payloads synthesized per doc (gray ramp
+    v(y,x) = (3y + 7x + doc_id) % 256, R=G=B), decoded back by
+    ``functions/multimodal.py::decode_image`` (Pillow when installed,
+    else the pure-numpy BMP parser) inside ``extract_features``'s
+    mapInPandas, 4x4 grid-mean features -> integer grid sums. Exactness:
+    the f32 feature is k/(16*255) with k = cell pixel sum <= 4080; sums
+    and /16 are exact in f32, so ROUND(f * 4080) recovers k exactly and
+    the oracle recomputes k from the pixel formula. Reference parity:
+    the reference treats attachments as opaque bytes
+    (processor/importer.py); this certifies the byte->feature path a
+    training pipeline adds on top."""
+
+    def run(spark, sf_dir):
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from .functions.multimodal import MEDIA_SCHEMA, encode_bmp, extract_features
+
+        load_views(spark, sf_dir)
+        docs = (
+            spark.table("documents")
+            .filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < _MM_DOCS))
+            .select("doc_id")
+        )
+
+        def synth(batches):
+            y, x = np.mgrid[0:16, 0:16]
+            base = 3 * y + 7 * x
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    v = ((base + int(d)) % 256).astype(np.uint8)
+                    payload = encode_bmp(np.repeat(v[:, :, None], 3, axis=2))
+                    rows.append(
+                        (
+                            f"m-{int(d)}",
+                            "image",
+                            payload,
+                            len(payload),
+                            _hl.sha256(payload).hexdigest(),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+        feats = extract_features(docs.mapInPandas(synth, MEDIA_SCHEMA))
+        return feats.select(
+            F.regexp_replace("media_id", "^m-", "").cast("bigint").alias("doc_id"),
+            F.posexplode("features").alias("cell_no", "f"),
+        ).select(
+            "doc_id",
+            "cell_no",
+            F.round(F.col("f") * F.lit(4080.0)).cast("bigint").alias("gray_sum"),
+        )
+
+    return run, f"""
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 0 AND doc_id < {_MM_DOCS}
+), px AS (
+  SELECT d.doc_id,
+         (y.y // 4) * 4 + (x.x // 4) AS cell_no,
+         (3 * y.y + 7 * x.x + d.doc_id) % 256 AS v
+  FROM d, range(16) y(y), range(16) x(x)
+)
+SELECT doc_id, CAST(cell_no AS INTEGER) AS cell_no,
+       CAST(SUM(v) AS BIGINT) AS gray_sum
+FROM px GROUP BY doc_id, cell_no
+"""
+
+
+_REGISTRY["multimodal_features"] = _q_multimodal_features()
+
+
+def _q_multimodal_audio_energy():
+    """Media+ — REAL audio decode through the distributed seam:
+    RIFF/WAVE PCM-16 payloads (1600 mono samples per doc,
+    s[i] = ((7i + doc_id) % 201) - 100), decoded back by
+    ``decode_wav_pcm16`` (the PyAV-free numpy parser) in a second
+    mapInPandas stage, then 16 equal-chunk int64 energies — integer
+    arithmetic end to end, so the oracle replays the sample formula
+    exactly. (The normalized-RMS feature tail over the same decoder is
+    pinned by pytest; energies are the SQL-replayable projection.)"""
+
+    def run(spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from .functions.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+        load_views(spark, sf_dir)
+        docs = (
+            spark.table("documents")
+            .filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") < _MM_DOCS))
+            .select("doc_id")
+        )
+        wav_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        )
+
+        def synth(batches):
+            i = np.arange(1600, dtype=np.int64)
+            for pdf in batches:
+                rows = [
+                    (
+                        int(d),
+                        encode_wav_pcm16(
+                            (((7 * i + int(d)) % 201) - 100).astype(np.int16)
+                        ),
+                    )
+                    for d in pdf["doc_id"]
+                ]
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("chunk_no", T.IntegerType(), False),
+                T.StructField("energy", T.LongType(), False),
+            ]
+        )
+
+        def energies(batches):
+            for pdf in batches:
+                rows = []
+                for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    planar, _rate = decode_wav_pcm16(payload)
+                    v = planar[0].astype(np.int64)
+                    e = (v * v).reshape(16, -1).sum(axis=1)
+                    rows.extend((int(d), c, int(e[c])) for c in range(16))
+                yield pd.DataFrame(rows, columns=["doc_id", "chunk_no", "energy"])
+
+        return docs.mapInPandas(synth, wav_schema).mapInPandas(
+            energies, out_schema
+        )
+
+    return run, f"""
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 1 AND doc_id < {_MM_DOCS}
+), s AS (
+  SELECT d.doc_id, i.i, ((7 * i.i + d.doc_id) % 201) - 100 AS v
+  FROM d, range(1600) i(i)
+)
+SELECT doc_id, CAST(i // 100 AS INTEGER) AS chunk_no,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, i // 100
+"""
+
+
+_REGISTRY["multimodal_audio_energy"] = _q_multimodal_audio_energy()
+
+
+def _q_multimodal_resize():
+    """Media+ — decode + bilinear resize certified: 16x16 BMPs whose
+    gray is LINEAR in (y, x) (v = 3y + 5x + doc_id % 40, max 159 — no
+    mod wrap), resized to 8x8 through ``resize_images``. On an affine
+    ramp both resize paths are EXACT and identical at INTERIOR pixels —
+    numpy bilinear (pixel-center) and Pillow's triangle-kernel BILINEAR
+    are both symmetric weighted means of a linear function, yielding
+    v(center) = 6k + 10l + 4 + doc_id % 40, an integer. At the image
+    BORDER Pillow clamps + renormalizes its kernel (the weighted mean
+    position shifts), so the certified projection is the gray sum over
+    the interior 6x6 region only — exact under either codec path.
+    One row per image; interior byte sum via an Arrow-batched
+    mapInPandas over the raw RGB binary."""
+
+    def run(spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from .functions.multimodal import MEDIA_SCHEMA, encode_bmp, resize_images
+
+        load_views(spark, sf_dir)
+        docs = (
+            spark.table("documents")
+            .filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < _MM_DOCS))
+            .select("doc_id")
+        )
+
+        def synth(batches):
+            import hashlib as _hl
+
+            y, x = np.mgrid[0:16, 0:16]
+            base = 3 * y + 5 * x
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    v = (base + int(d) % 40).astype(np.uint8)
+                    payload = encode_bmp(np.repeat(v[:, :, None], 3, axis=2))
+                    rows.append(
+                        (
+                            f"m-{int(d)}",
+                            "image",
+                            payload,
+                            len(payload),
+                            _hl.sha256(payload).hexdigest(),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+        small = resize_images(docs.mapInPandas(synth, MEDIA_SCHEMA), 8, 8)
+
+        sum_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("gray_total", T.LongType(), False),
+            ]
+        )
+
+        def interior_sums(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [
+                            int(m[2:]) for m in pdf["media_id"]
+                        ],
+                        "gray_total": [
+                            int(
+                                np.frombuffer(b, np.uint8)
+                                .reshape(8, 8, 3)[1:7, 1:7]
+                                .sum()
+                            )
+                            for b in pdf["rgb"]
+                        ],
+                    }
+                )
+
+        return small.select("media_id", "rgb").mapInPandas(
+            interior_sums, sum_schema
+        )
+
+    return run, f"""
+WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 2 AND doc_id < {_MM_DOCS}
+), px AS (
+  SELECT d.doc_id, 6 * k.k + 10 * l.l + 4 + (d.doc_id % 40) AS v
+  FROM d, range(1, 7) k(k), range(1, 7) l(l)
+)
+SELECT doc_id, CAST(SUM(3 * v) AS BIGINT) AS gray_total
+FROM px GROUP BY doc_id
+"""
+
+
+_REGISTRY["multimodal_resize"] = _q_multimodal_resize()
+
+
+# ==========================================================================
+# Batch 5b — round-5 training-pipeline extensions: deterministic global
+# training order, distributed BPE primitives, bloom-filter
+# decontamination, embedding centroid outlier scoring.
+# ==========================================================================
+
+
+def _q_train_order_manifest():
+    """Order+ — deterministic global training-order manifest
+    (operators/ordering.py shuffle_manifest): every doc's 1-based rank
+    under ORDER BY (md5(epoch_salt || doc_id), doc_id) — the
+    reproducible epoch shuffle a training job consumes. Two-phase
+    md5-prefix-bucketed rank (the sampling.py machinery), so no global
+    corpus-sized window; the oracle IS the single global window,
+    certifying the two-phase decomposition equals it exactly."""
+
+    def run(spark, sf_dir):
+        from .operators.ordering import shuffle_manifest
+
+        load_views(spark, sf_dir)
+        return shuffle_manifest(spark.table("documents"), salt="e0")
+
+    return run, """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('e0' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position
+FROM documents
+"""
+
+
+_REGISTRY["train_order_manifest"] = _q_train_order_manifest()
+
+
+def _q_bpe_pair_counts():
+    """BPE+ — adjacent-token-pair frequencies (operators/bpe.py
+    pair_counts), the statistic every BPE training round maximizes.
+    Char-token corpus, so the oracle counts 2-char windows of the raw
+    text. One map-side-combined shuffle of |distinct pairs| rows."""
+
+    def run(spark, sf_dir):
+        from .operators.bpe import pair_counts
+
+        seq = _char_tokens_df(spark, sf_dir)
+        return pair_counts(seq)
+
+    return run, """
+SELECT ascii(substr(text, CAST(i AS INTEGER), 1)) AS left,
+       ascii(substr(text, CAST(i AS INTEGER) + 1, 1)) AS right,
+       COUNT(*) AS n_pairs
+FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+WHERE i < length(text)
+GROUP BY 1, 2
+"""
+
+
+_REGISTRY["bpe_pair_counts"] = _q_bpe_pair_counts()
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of the full bpe_train loop: round r's merged token
+    (Spark id 256+r) is rendered as chr(1+r) — codes 1..n_merges never
+    occur in the corpus (charset is 32..121) — and greedy left-to-right
+    pair merging IS string replace(). The argmax tie-break orders by
+    the SAME mapped integer ids the engine uses."""
+    mapped = (
+        "CASE WHEN ascii({c}) BETWEEN 1 AND %d THEN 255 + ascii({c}) "
+        "ELSE ascii({c}) END" % n_merges
+    )
+    ctes = [
+        "t0 AS (SELECT doc_id, text AS s FROM documents WHERE length(text) > 1)"
+    ]
+    selects = []
+    for r in range(n_merges):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT substr(s, CAST(i AS INTEGER), 1) AS l,
+         substr(s, CAST(i AS INTEGER) + 1, 1) AS r, COUNT(*) AS c
+  FROM t{r}, (SELECT unnest(range(1, 200001)) AS i) g
+  WHERE i < length(s) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+  SELECT l, r, c FROM p{r}
+  ORDER BY c DESC, {mapped.format(c='l')} ASC, {mapped.format(c='r')} ASC
+  LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""t{r + 1} AS (
+  SELECT doc_id, replace(s, (SELECT l || r FROM m{r}), chr({r + 1})) AS s
+  FROM t{r}
+)"""
+        )
+        selects.append(
+            f"SELECT {r} AS round, CAST({mapped.format(c='l')} AS INTEGER) AS left, "
+            f"CAST({mapped.format(c='r')} AS INTEGER) AS right, "
+            f"{256 + r} AS new_id, CAST(c AS BIGINT) AS n_pairs FROM m{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _q_bpe_train_merges():
+    """BPE+ — the full distributed BPE TRAINING loop (operators/bpe.py
+    bpe_train): 4 rounds of count -> argmax (count DESC, pair ASC) ->
+    greedy merge, certified end to end. The oracle replays every round
+    on the text rendering (merge == string replace; merged ids map to
+    reserved control chars), so identical merge tables mean the
+    distributed pair counts, the tie-break, AND the greedy overlap
+    semantics all match."""
+    N_MERGES = 4
+
+    def run(spark, sf_dir):
+        from .operators.bpe import bpe_train
+
+        seq = _char_tokens_df(spark, sf_dir)
+        return bpe_train(seq, n_merges=N_MERGES)
+
+    return run, _bpe_oracle_sql(N_MERGES)
+
+
+_REGISTRY["bpe_train_merges"] = _q_bpe_train_merges()
+
+
+def _q_decontaminate_bloom():
+    """Decontam+ — BLOOM-FILTER decontamination (operators/decontam.py
+    bloom_decontaminate): the benchmark gram set compressed to a
+    2^20-bit bitmap (k=3 md5-derived positions per gram), corpus tested
+    in ONE narrow Arrow pass — zero joins/shuffles, vs the exact path's
+    broadcast of full gram strings. Deterministic false positives: both
+    engines compute the identical md5 positions, so the oracle replays
+    the bitmap AND the FP set bit-for-bit. Same corpus/benchmark split
+    as `decontaminate` (doc_id % 50)."""
+    N = 5
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.decontam import bloom_decontaminate
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        return bloom_decontaminate(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=N,
+        )
+
+    hexpos = (
+        "((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(h, 5, 1)) - 1"
+    )
+    return run, f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+  FROM words WHERE len(w) >= 5
+), bench_pos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {hexpos} AS pos FROM (
+      SELECT md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+      FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+           (SELECT unnest(range(3)) AS j)
+    )
+  )
+), cg AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0
+), gram_hits AS (
+  SELECT doc_id, shingle FROM (
+    SELECT cg.doc_id, cg.shingle, {hexpos} AS pos FROM (
+      SELECT doc_id, shingle, md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+      FROM cg, (SELECT unnest(range(3)) AS j)
+    ) cg
+  ) p JOIN bench_pos USING (pos)
+  GROUP BY doc_id, shingle HAVING COUNT(*) = 3
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM gram_hits GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits_bloom,
+       (COALESCE(p.n_hits, 0) > 0) AS flagged
+FROM documents d
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+WHERE d.doc_id % 50 <> 0
+"""
+
+
+_REGISTRY["decontaminate_bloom"] = _q_decontaminate_bloom()
+
+
+def _q_emb_label_centroids():
+    """Embedding+ — per-label centroid components
+    (operators/similarity.py label_centroids): the SemDeDup-style
+    cluster summary. Exact decimal sums (order-independent) divided as
+    double, rounded 6 — the engine's oracle float rule."""
+
+    def run(spark, sf_dir):
+        from .operators.similarity import label_centroids
+
+        load_views(spark, sf_dir)
+        return label_centroids(spark.table("embeddings"))
+
+    return run, """
+SELECT label AS group, CAST(i.i AS INTEGER) AS dim,
+       ROUND(CAST(SUM(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS c
+FROM embeddings, (SELECT unnest(range(64)) AS i) i
+GROUP BY label, i.i
+"""
+
+
+_REGISTRY["emb_label_centroids"] = _q_emb_label_centroids()
+
+
+def _q_emb_centroid_outliers():
+    """Embedding+ — cosine of every vector to its own label's centroid
+    (operators/similarity.py centroid_outliers): the outlier score for
+    embedding-space quality filtering. Centroids are the rounded
+    label_centroids contract (broadcast back as arrays); the corpus
+    side never shuffles."""
+
+    def run(spark, sf_dir):
+        from .operators.similarity import centroid_outliers
+
+        load_views(spark, sf_dir)
+        return centroid_outliers(spark.table("embeddings"))
+
+    return run, """
+WITH cent AS (
+  SELECT label, CAST(i.i AS INTEGER) AS dim,
+         ROUND(CAST(SUM(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM embeddings, (SELECT unnest(range(64)) AS i) i
+  GROUP BY label, i.i
+), carr AS (
+  SELECT label, list(c ORDER BY dim) AS cent FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label AS group,
+       ROUND(CASE WHEN sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))) > 0
+                   AND sqrt(list_sum(list_transform(c.cent, x -> x * x))) > 0
+             THEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * c.cent[i]))
+                  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+                     * sqrt(list_sum(list_transform(c.cent, x -> x * x))))
+             ELSE 0.0 END, 6) AS cos_centroid
+FROM embeddings e JOIN carr c ON c.label = e.label
+"""
+
+
+_REGISTRY["emb_centroid_outliers"] = _q_emb_centroid_outliers()
+
+
+def _q_m4_downsample():
+    """TS+ — M4 visualization downsample (operators/downsample.py):
+    min/max/first/last per (doc, pixel bucket) over the char-token
+    stream — the width-aware render aggregation (Jugel et al. VLDB'14).
+    One map-side-combined groupBy, no window/sort; the oracle replays
+    bucket = floor(i·B/n) and arg_min/arg_max."""
+    B = 16
+
+    def run(spark, sf_dir):
+        from .operators.downsample import m4_downsample
+
+        seq = _char_tokens_df(spark, sf_dir)
+        return m4_downsample(seq, n_buckets=B)
+
+    return run, f"""
+WITH chars AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS i, length(text) AS n,
+         ascii(substr(text, CAST(i AS INTEGER), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i <= length(text)
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(i * {B} // n AS INTEGER) AS bucket,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       arg_min(v, i) AS first_v, arg_max(v, i) AS last_v,
+       COUNT(*) AS n
+FROM chars GROUP BY doc_id, i * {B} // n
+"""
+
+
+_REGISTRY["m4_downsample"] = _q_m4_downsample()
+
+
+def _q_lm_avg_prob():
+    """Text+ — char-bigram LM quality score (functions/text.py
+    lm_avg_prob): mean add-one-smoothed bigram probability of each
+    corpus doc under a model trained on the doc_id % 10 == 0 slice —
+    the CCNet-style "LM-likes-it" quality signal in its engine-portable
+    mean-probability form (each p is one correctly-rounded IEEE integer
+    division; decimal-sum rule for the mean — see the operator
+    docstring for why not log-perplexity)."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .functions.text import lm_avg_prob
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        return lm_avg_prob(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+        )
+
+    return run, """
+WITH pairs AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS a,
+         substr(text, CAST(i AS INTEGER) + 1, 1) AS b
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i < length(text)
+), mb AS (
+  SELECT * FROM pairs WHERE doc_id % 10 = 0
+), cab AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM mb GROUP BY a, b
+), ca AS (
+  SELECT a, COUNT(*) AS c_a FROM mb GROUP BY a
+), v AS (
+  SELECT COUNT(DISTINCT substr(text, CAST(i AS INTEGER), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE doc_id % 10 = 0 AND i <= length(text)
+), cb AS (
+  SELECT * FROM pairs WHERE doc_id % 10 <> 0
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(
+           CAST(COALESCE(c_ab, 0) + 1 AS DOUBLE)
+           / CAST(COALESCE(c_a, 0) + v.v AS DOUBLE)
+         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_prob
+FROM cb
+LEFT JOIN cab USING (a, b)
+LEFT JOIN ca USING (a)
+CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+_REGISTRY["lm_avg_prob"] = _q_lm_avg_prob()
+
+
+def _q_rollup_tier_upsert():
+    """TS+ — incremental continuous-aggregate maintenance
+    (operators/rollup.py rollup_upsert): a corpus whose doc_id % 7 == 0
+    docs were first ingested STALE (text reversed) is repaired by
+    re-rolling ONLY the delta and anti-join-replacing those docs' tier
+    rows. The oracle is the plain full-corpus 1m-tier rollup of the
+    FRESH text — certifying the upsert (including dropped trailing
+    windows and untouched docs) is indistinguishable from a full
+    recompute."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.rollup import rollup_all_tiers, rollup_upsert, tier_points
+
+        load_views(spark, sf_dir)
+        docs = spark.table("documents")
+        tiers = (("1s", 16), ("1m", 4))
+        stale = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.reverse("text")).otherwise(
+                F.col("text")
+            ),
+        )
+        existing = tier_points(
+            rollup_all_tiers(_char_tokens_of(stale), tiers)["1m"]
+        )
+        delta = _char_tokens_of(docs.filter(F.col("doc_id") % 7 == 0))
+        out = rollup_upsert(existing, delta, tiers, "1m")
+        return out.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "win_no",
+            "min_v",
+            "max_v",
+            "sum_v",
+            "cnt",
+            "mean_v",
+        )
+
+    return run, """
+WITH chars AS (
+  SELECT doc_id, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i <= length(text)
+)
+SELECT doc_id,
+       CAST((i - 1) // 64 AS INTEGER) AS win_no,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(*) AS cnt,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_v
+FROM chars GROUP BY doc_id, (i - 1) // 64
+"""
+
+
+_REGISTRY["rollup_tier_upsert"] = _q_rollup_tier_upsert()

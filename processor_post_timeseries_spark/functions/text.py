@@ -344,3 +344,68 @@ def repetition_metrics(
             F.round(F.col("_top") / F.col("n_grams"), decimals).alias("top_share"),
         )
     )
+
+
+def lm_avg_prob(
+    corpus: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Char-bigram language-model quality score (the CCNet-style "does a
+    simple LM like this text" signal, in its engine-portable form): per
+    corpus doc, the MEAN add-one-smoothed bigram probability under a
+    model trained on ``model``'s texts:
+
+        p(b | a) = (c(ab) + 1) / (c(a·) + V)
+
+    with c(ab) = bigram count in the model corpus, c(a·) = count of
+    ``a`` as a bigram LEFT, V = |distinct chars| in the model corpus.
+    Unseen contexts fall back to 1/V. Output: (doc_id, n_bigrams,
+    avg_prob) for docs with >= 2 chars.
+
+    Determinism (why MEAN PROB, not perplexity): every p is one IEEE
+    division of two integers — correctly rounded, so bit-identical on
+    any engine — whereas log10 is not correctly-rounded libm and can
+    differ in the last ulp between JVM and DuckDB. The sum follows the
+    engine's oracle float rule: cast each p to DECIMAL(28,12)
+    (deterministic, order-independent), divide as DOUBLE, round.
+
+    Plan at 100 TB: model counts are |vocab|^2-bounded (tiny) and
+    broadcast; the corpus explodes to bigrams once and aggregates per
+    doc — one map-side-combined shuffle on doc_id."""
+    def bigrams(df):
+        chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+        n = F.size(chars)
+        z = F.arrays_zip(
+            F.slice(chars, 1, n - 1).alias("a"), F.slice(chars, 2, n - 1).alias("b")
+        )
+        return df.filter(n >= 2).select(
+            F.col(id_col), F.explode(z).alias("p")
+        ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+    mb = bigrams(model)
+    c_ab = mb.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = mb.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = model.select(
+        F.explode(F.filter(F.split(F.col(text_col), ""), lambda c: c != "")).alias("ch")
+    ).agg(F.countDistinct("ch").alias("v"))
+
+    cb = bigrams(corpus)
+    p = (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v")
+    ).cast("double")
+    return (
+        cb.join(F.broadcast(c_ab), ["a", "b"], "left")
+        .join(F.broadcast(c_a), "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(p.cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+                decimals,
+            ).alias("avg_prob"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Distributed BPE (byte-pair-encoding) primitives — the vocabulary-
+training loop an LLM data pipeline runs over its token streams
+(Sennrich et al. 2016; the reference's scope is the token-stream tables
+themselves, processor/pipeline.py — BPE is the training-data op built
+on top).
+
+Spark-first decomposition of one merge round:
+
+* ``pair_counts`` — adjacent-pair frequencies. Pure JVM array exprs
+  (slice + arrays_zip + explode) into ONE map-side-combined groupBy:
+  the only shuffle is |distinct pairs| rows (bounded by vocab², tiny
+  next to the corpus), so the round cost is a streaming corpus scan.
+* ``apply_merge`` — rewrite every greedy-left non-overlapping
+  occurrence of (left, right) to a new token id. Arrow-batched numpy
+  kernel, linear in tokens: the match mask is vectorized; only the
+  overlap resolution for left == right runs walks (sparse) match
+  positions.
+* ``bpe_train`` — the driver loop: count -> pick argmax
+  (count DESC, then (left, right) ASC — a total, engine-portable
+  tie-break) -> merge, repeated ``n_merges`` times. One bounded 1-row
+  collect per round; everything else stays distributed. New ids are
+  allocated from ``start_id`` upward.
+
+Greedy-left semantics match string ``replace``: merging (l, r) in
+token stream equals replacing the 2-gram "lr" left-to-right without
+overlap — which is exactly how the DuckDB oracle replays the loop on
+the documents' char-token rendering (contract.py bpe_* queries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pair_counts(seq: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(left, right, n_pairs): frequency of each adjacent token pair
+    across the corpus — counting EVERY adjacency (the BPE statistic),
+    not distinct-per-doc."""
+    t = F.col(tokens_col)
+    n = F.size(t)
+    zipped = F.arrays_zip(
+        F.slice(t, 1, n - 1).alias("l"), F.slice(t, 2, n - 1).alias("r")
+    )
+    return (
+        seq.filter(n >= 2)
+        .select(F.explode(zipped).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left"), F.col("p.r").alias("right")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _merge_one(t: np.ndarray, left: int, right: int, new_id: int) -> np.ndarray:
+    if t.size < 2:
+        return t
+    m = (t[:-1] == left) & (t[1:] == right)
+    idx = np.flatnonzero(m)
+    if idx.size == 0:
+        return t
+    if left == right:
+        # consecutive matches overlap (runs of the same token): greedy
+        # left-to-right keeps a match only when the previous token was
+        # not consumed — every other match within a run
+        keep, last = [], -2
+        for i in idx:  # loop over MATCHES only (sparse), not tokens
+            if i > last + 1:
+                keep.append(i)
+                last = i
+        idx = np.asarray(keep, dtype=np.int64)
+    out = np.delete(t, idx + 1)
+    # after deleting k earlier right-elements, match k's left sits at
+    # idx[k] - k — overwrite it with the merged id
+    out[idx - np.arange(idx.size)] = new_id
+    return out
+
+
+def apply_merge(
+    seq: DataFrame, left: int, right: int, new_id: int, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Rewrite (left, right) -> new_id greedily left-to-right in every
+    row's token array; ``n_tok`` (when present) is updated to the new
+    length. Narrow Arrow-batched map — no shuffle."""
+    fields = seq.schema.fields
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.ArrayType(T.IntegerType()) if f.name == tokens_col else f.dataType,
+                f.nullable,
+            )
+            for f in fields
+        ]
+    )
+    names = [f.name for f in fields]
+    has_ntok = "n_tok" in names
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            merged = [
+                _merge_one(np.asarray(v, dtype=np.int64), left, right, new_id).astype(
+                    np.int32
+                )
+                for v in pdf[tokens_col]
+            ]
+            pdf = pdf.copy()
+            pdf[tokens_col] = merged
+            if has_ntok:
+                pdf["n_tok"] = np.fromiter(
+                    (len(v) for v in merged), dtype=np.int64, count=len(merged)
+                )
+            yield pdf
+
+    return seq.mapInPandas(run, schema=out_schema)
+
+
+def bpe_train(
+    seq: DataFrame,
+    n_merges: int,
+    tokens_col: str = "tokens",
+    start_id: int = 256,
+) -> DataFrame:
+    """Run ``n_merges`` BPE rounds; returns the merge table as a
+    DataFrame: (round, left, right, new_id, n_pairs) — ``n_pairs`` is
+    the winning pair's frequency at selection time. Rounds that find no
+    pair (corpus fully merged) stop early.
+
+    Driver loop: one 1-row collect per round (the argmax), pre-committed
+    bounded; each round chains one narrow merge map onto the plan. For
+    large ``n_merges`` checkpoint the sequence frame every ~8 rounds
+    (plan depth), exactly like the components loop in dedup.py."""
+    rows = []
+    cur = seq
+    for rnd in range(n_merges):
+        top = (
+            pair_counts(cur, tokens_col)
+            .orderBy(F.desc("n_pairs"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = int(top[0]["left"]), int(top[0]["right"]), int(top[0]["n_pairs"])
+        new_id = start_id + rnd
+        rows.append((rnd, left, right, new_id, cnt))
+        cur = apply_merge(cur, left, right, new_id, tokens_col)
+    return seq.sparkSession.createDataFrame(
+        rows, "round int, left int, right int, new_id int, n_pairs long"
+    )

@@ -13,8 +13,13 @@ ratios come from one partial-aggregated groupBy on doc_id.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import shingles
 
@@ -83,3 +88,100 @@ def contamination_report(
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def bloom_positions(shingle_col, k: int = 3, hex_digits: int = 5):
+    """The k bloom bit positions of a gram: position_j =
+    int(first ``hex_digits`` hex chars of md5(j || ':' || shingle), 16)
+    — m = 16^hex_digits bits (2^20 for the default 5). md5-derived so
+    the positions are engine-portable: DuckDB and hashlib replay them
+    bit-for-bit (the same determinism rule as the MinHash family)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), shingle_col)), 1, hex_digits),
+            16,
+            10,
+        ).cast("long")
+        for j in range(k)
+    ]
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    k: int = 3,
+    hex_digits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate-membership decontamination: per corpus doc
+    (doc_id, n_grams, n_hits_bloom, flagged) where a gram "hits" iff
+    ALL k of its bloom positions are set by the benchmark gram set.
+
+    Why this exists next to the exact ``contamination_report``: at
+    100 TB the exact path broadcasts the benchmark's distinct gram
+    STRINGS (GBs for a big eval battery) and explodes the corpus into a
+    join. The bloom path compresses the benchmark side to an
+    m = 16^hex_digits-BIT bitmap (128 KiB at the default) built with one
+    bounded aggregation, ships it in the task closure, and tests the
+    corpus in ONE narrow Arrow-batched pass — zero shuffles, zero joins,
+    scan-speed. False positives are possible (never negatives); both
+    engines compute the identical deterministic FP set, which is what
+    the oracle certifies, and flagged docs can be re-checked with the
+    exact path (the classic two-tier filter).
+
+    The kernel re-derives grams with the SAME convention as
+    ``dedup.shingles``/``word_ngram_array``: split on single spaces,
+    n consecutive words joined by a space, DISTINCT per doc."""
+    import hashlib
+
+    m = 16**hex_digits
+    # benchmark bitmap: distinct positions, bounded by min(k·|grams|, m)
+    bench_grams = shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+    pos_rows = (
+        bench_grams.select(
+            F.explode(F.array(*bloom_positions(F.col("shingle"), k, hex_digits))).alias(
+                "p"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m, dtype=bool)
+    if pos_rows:
+        bitmap[np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)] = True
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_grams", T.LongType(), False),
+            T.StructField("n_hits_bloom", T.LongType(), False),
+            T.StructField("flagged", T.BooleanType(), False),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf[id_col], pdf[text_col]):
+                words = str(text).split(" ")
+                grams = {
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                }
+                hits = 0
+                for g in grams:
+                    ok = True
+                    for j in range(k):
+                        h = hashlib.md5(f"{j}:{g}".encode()).hexdigest()
+                        if not bitmap[int(h[:hex_digits], 16)]:
+                            ok = False
+                            break
+                    hits += ok
+                rows.append((int(d), len(grams), hits, hits > 0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_grams", "n_hits_bloom", "flagged"]
+            )
+
+    return corpus.select(id_col, text_col).mapInPandas(kern, out_schema)

@@ -280,3 +280,35 @@ def source_stats(points: DataFrame) -> DataFrame:
         F.sum("cnt").alias("cnt"),
         F.count("*").alias("n_windows"),
     )
+
+
+def rollup_upsert(
+    existing_points: DataFrame,
+    delta_seq: DataFrame,
+    tiers: tuple[tuple[str, int], ...],
+    tier: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental continuous-aggregate maintenance (the TimescaleDB
+    refresh semantics the reference's tiers would need under
+    re-ingestion): given the materialized tier POINTS of a corpus and a
+    delta of re-ingested docs (full replacement token arrays), produce
+    the tier points of the updated corpus WITHOUT touching any
+    unchanged doc.
+
+    result = existing_points ⟕anti delta_ids  ∪  rollup(delta)
+
+    The anti-join removes EVERY window of a replaced doc (so shrunken
+    streams drop their trailing windows — the correctness trap of
+    patch-style updates); only the delta is re-rolled, through the same
+    zero-shuffle cascade as a full run. At scale the anti-join is a
+    broadcast of the delta's doc ids and the write is a dynamic
+    partition overwrite of the touched (source, bucket) partitions —
+    the plan the pipeline already uses (plans/pipeline.py).
+
+    ``existing_points``/result schema = ``tier_points`` of
+    ``rollup_all_tiers(seq, tiers)[tier]``."""
+    fresh = tier_points(rollup_all_tiers(delta_seq, tiers)[tier])
+    ids = delta_seq.select(F.col(id_col)).distinct()
+    kept = existing_points.join(F.broadcast(ids), id_col, "left_anti")
+    return kept.unionByName(fresh)

@@ -587,3 +587,78 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group mean embedding: (group, dim, c) exploded — the
+    SemDeDup-style cluster summary a curation pipeline uses for
+    embedding-space filtering. Rounded to ``decimals`` so the value is
+    an engine-portable contract (float sums are order-sensitive at the
+    1e-15 level; rounding far above it makes every engine agree).
+
+    Plan at 10^9 vectors: posexplode -> map-side-combined groupBy on
+    (group, dim) — the shuffle carries |groups|·dim partial sums, not
+    vectors. The mean uses the engine's oracle float rule: DECIMAL sum
+    (exact, summation-order-independent — raw double sums differ at
+    1e-15 across partial-agg orders) divided as DOUBLE, then round."""
+    return (
+        emb.select(F.col(group_col).alias("group"), F.posexplode(vec).alias("dim", "x"))
+        .groupBy("group", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                decimals,
+            ).alias("c"),
+        )
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Cosine of every vector to ITS OWN group's centroid:
+    (vec_id, group, cos_centroid) — the outlier score for embedding-
+    based quality filtering (drop the far tail of each cluster).
+    Centroid components are the ``label_centroids`` rounded contract, so
+    the score is deterministic end to end; zero-norm edges score 0.
+
+    Plan: centroids (|groups|·dim rows) reassemble into arrays and
+    broadcast; the corpus side is ONE narrow pass (no shuffle of
+    vectors)."""
+    cent = (
+        label_centroids(emb, group_col, vec, decimals)
+        .groupBy("group")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("c")))
+            ).alias("_dc")
+        )
+        .select(
+            F.col("group").alias(group_col),
+            F.transform("_dc", lambda s: s["c"]).alias("_cent"),
+        )
+    )
+    d = _dot(F.col(vec), F.col("_cent"))
+    nv = F.sqrt(_dot(F.col(vec), F.col(vec)))
+    nc = F.sqrt(_dot(F.col("_cent"), F.col("_cent")))
+    return (
+        emb.join(F.broadcast(cent), group_col)
+        .select(
+            id_col,
+            F.col(group_col).alias("group"),
+            F.round(
+                F.when((nv > 0) & (nc > 0), d / (nv * nc)).otherwise(F.lit(0.0)),
+                decimals,
+            ).alias("cos_centroid"),
+        )
+    )
