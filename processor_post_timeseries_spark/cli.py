@@ -95,6 +95,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--mixture", help="targets, e.g. src0:0.5,src1:0.5")
     ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument(
+        "--decontam-mode",
+        choices=("exact", "bloom_exact"),
+        default="exact",
+        help="bloom_exact = 128 KiB bloom prefilter + exact verify on "
+        "flagged docs only (identical audit, far cheaper at scale)",
+    )
     ap.add_argument("--ctx-len", type=int, default=2048)
     args = ap.parse_args(argv)
 
@@ -129,7 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         docs = read_table(spark, args.input)
         bench = read_table(spark, args.curate)
         kw = dict(
-            min_quality=args.min_quality, targets=targets, near_dup=args.near_dup
+            min_quality=args.min_quality,
+            targets=targets,
+            near_dup=args.near_dup,
+            decontam_mode=args.decontam_mode,
         )
         drop_stats: dict = {}
         audit = curate(docs, bench, drop_stats=drop_stats, **kw)

@@ -3932,6 +3932,56 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Same round-by-round replay as ``_bpe_oracle_sql`` but the result
+    is the ENCODED CORPUS, reported per doc as (n_tok, sum_tok) over the
+    final merged rendering — merged char chr(1+r) maps back to token id
+    256+r. t0 keeps 1-char docs (they pass through encoding unchanged;
+    they contribute no pairs, so the merge table is identical)."""
+    mapped = (
+        "CASE WHEN ascii({c}) BETWEEN 1 AND %d THEN 255 + ascii({c}) "
+        "ELSE ascii({c}) END" % n_merges
+    )
+    ctes = [
+        "t0 AS (SELECT doc_id, text AS s FROM documents WHERE length(text) > 0)"
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT substr(s, CAST(i AS INTEGER), 1) AS l,
+         substr(s, CAST(i AS INTEGER) + 1, 1) AS r, COUNT(*) AS c
+  FROM t{r}, (SELECT unnest(range(1, 200001)) AS i) g
+  WHERE i < length(s) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+  SELECT l, r, c FROM p{r}
+  ORDER BY c DESC, {mapped.format(c='l')} ASC, {mapped.format(c='r')} ASC
+  LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""t{r + 1} AS (
+  SELECT doc_id, replace(s, (SELECT l || r FROM m{r}), chr({r + 1})) AS s
+  FROM t{r}
+)"""
+        )
+    ch = "substr(s, CAST(i AS INTEGER), 1)"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(length(s) AS BIGINT) AS n_tok,
+       CAST(SUM({mapped.format(c=ch)}) AS BIGINT) AS sum_tok
+FROM t{n_merges}, (SELECT unnest(range(1, 200001)) AS i) g
+WHERE i <= length(s)
+GROUP BY doc_id, length(s)
+"""
+    )
+
+
 def _q_bpe_train_merges():
     """BPE+ — the full distributed BPE TRAINING loop (operators/bpe.py
     bpe_train): 4 rounds of count -> argmax (count DESC, pair ASC) ->
@@ -3952,6 +4002,37 @@ def _q_bpe_train_merges():
 
 
 _REGISTRY["bpe_train_merges"] = _q_bpe_train_merges()
+
+
+def _q_bpe_encode_stats():
+    """BPE+ — TOKENIZE the corpus with a trained merge table
+    (operators/bpe.py bpe_encode): the merge table from 4 training
+    rounds is applied in rank order in ONE Arrow pass (plan depth O(1)
+    in |merges|, vs an n-deep apply_merge chain). Output: per-doc
+    (n_tok, sum_tok) of the encoded stream; the oracle replays training
+    AND encoding round by round on the text rendering, so matching
+    sums certify every merged token id and position."""
+    N_MERGES = 4
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.bpe import bpe_encode, bpe_train
+
+        seq = _char_tokens_df(spark, sf_dir)
+        enc = bpe_encode(seq, bpe_train(seq, n_merges=N_MERGES))
+        return enc.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("n_tok"),
+            F.aggregate(
+                "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            ).alias("sum_tok"),
+        )
+
+    return run, _bpe_encode_oracle_sql(N_MERGES)
+
+
+_REGISTRY["bpe_encode_stats"] = _q_bpe_encode_stats()
 
 
 def _q_decontaminate_bloom():
@@ -4235,3 +4316,155 @@ FROM chars GROUP BY doc_id, (i - 1) // 64
 
 
 _REGISTRY["rollup_tier_upsert"] = _q_rollup_tier_upsert()
+
+
+def _q_train_order_batches():
+    """Order+ — global batch assignment over the deterministic epoch
+    permutation (operators/ordering.py epoch_batches): the manifest a
+    data loader consumes for reproducible, resumable training. Pure
+    projection on shuffle_manifest (same two-phase rank plan, no extra
+    exchange); the oracle replays the single global window + integer
+    batch arithmetic."""
+    B = 64
+
+    def run(spark, sf_dir):
+        from .operators.ordering import epoch_batches
+
+        load_views(spark, sf_dir)
+        return epoch_batches(spark.table("documents"), batch_size=B, salt="e1")
+
+    return run, f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('e1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS position
+  FROM documents
+)
+SELECT doc_id, position,
+       CAST((position - 1) // {B} AS BIGINT) AS batch_no,
+       CAST((position - 1) % {B} AS INTEGER) AS pos_in_batch
+FROM m
+"""
+
+
+_REGISTRY["train_order_batches"] = _q_train_order_batches()
+
+
+def _q_tok_unigram_zipf():
+    """Vocab+ — corpus token frequencies with Zipf rank
+    (operators/bpe.py unigram_stats): the vocabulary report tokenizer
+    training starts from. One |vocab|-row shuffle; the rank window runs
+    on the bounded |vocab|-row aggregate (waived global window)."""
+
+    def run(spark, sf_dir):
+        from .operators.bpe import unigram_stats
+
+        seq = _char_tokens_df(spark, sf_dir)
+        return unigram_stats(seq)
+
+    return run, """
+WITH c AS (
+  SELECT ascii(substr(text, CAST(i AS INTEGER), 1)) AS token, COUNT(*) AS n
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i <= length(text) GROUP BY 1
+)
+SELECT token, CAST(n AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+FROM c
+"""
+
+
+_REGISTRY["tok_unigram_zipf"] = _q_tok_unigram_zipf()
+
+
+def _q_src_char_drift():
+    """Quality+ — per-source total-variation drift of the char
+    distribution vs the whole corpus (functions/text.py
+    char_distribution_drift): the feed-health monitor. TV, not KL, so
+    every term is correctly-rounded IEEE arithmetic (no libm log);
+    decimal-sum float rule for the Σ."""
+
+    def run(spark, sf_dir):
+        from .functions.text import char_distribution_drift
+
+        load_views(spark, sf_dir)
+        return char_distribution_drift(spark.table("documents"))
+
+    return run, """
+WITH chars AS (
+  SELECT source AS grp, substr(text, CAST(i AS INTEGER), 1) AS ch
+  FROM documents, (SELECT unnest(range(1, 100001)) AS i) g
+  WHERE i <= length(text)
+), per AS (
+  SELECT grp, ch, COUNT(*) AS c_gc FROM chars GROUP BY grp, ch
+), vocab AS (
+  SELECT ch, COUNT(*) AS c_c FROM chars GROUP BY ch
+), per_g AS (
+  SELECT grp, COUNT(*) AS n_g FROM chars GROUP BY grp
+), total AS (
+  SELECT SUM(c_c) AS n FROM vocab
+)
+SELECT per_g.grp AS group, CAST(per_g.n_g AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(CAST(ABS(
+           CAST(COALESCE(per.c_gc, 0) AS DOUBLE) / per_g.n_g
+           - CAST(vocab.c_c AS DOUBLE) / total.n
+         ) AS DECIMAL(28,12))) AS DOUBLE) / 2, 6) AS tv
+FROM per_g
+CROSS JOIN vocab
+LEFT JOIN per ON per.grp = per_g.grp AND per.ch = vocab.ch
+CROSS JOIN total
+GROUP BY per_g.grp, per_g.n_g
+"""
+
+
+_REGISTRY["src_char_drift"] = _q_src_char_drift()
+
+
+def _q_gopher_quality_flags():
+    """Quality+ — Gopher-rule document filter flags (functions/text.py
+    gopher_quality_flags): word count / mean word length / symbol and
+    ellipsis ratios / alpha-word share / stopword presence, every
+    threshold in integer cross-multiplied form so the booleans are
+    bit-portable with no float division. Zero-shuffle projection."""
+
+    def run(spark, sf_dir):
+        from .functions.text import gopher_quality_flags
+
+        load_views(spark, sf_dir)
+        return gopher_quality_flags(spark.table("documents"))
+
+    return run, """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words,
+         length(text) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, len(words) AS n_words,
+         COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS total_len,
+         n_chars - length(replace(text, '#', '')) AS n_hash,
+         (n_chars - length(replace(text, '...', ''))) // 3 AS n_ellipsis,
+         len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(words),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+       (total_len >= 3 * n_words AND total_len <= 10 * n_words) AS mean_word_len_ok,
+       (n_hash * 10 <= n_chars) AS hash_ratio_ok,
+       (n_ellipsis * 10 <= 3 * n_words) AS ellipsis_ratio_ok,
+       (n_alpha * 5 >= n_words * 4) AS alpha_word_ok,
+       (n_stop >= 2) AS stopword_ok,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (total_len >= 3 * n_words AND total_len <= 10 * n_words)
+        AND (n_hash * 10 <= n_chars)
+        AND (n_ellipsis * 10 <= 3 * n_words)
+        AND (n_alpha * 5 >= n_words * 4)
+        AND (n_stop >= 2)) AS kept
+FROM s
+"""
+
+
+_REGISTRY["gopher_quality_flags"] = _q_gopher_quality_flags()

@@ -409,3 +409,131 @@ def lm_avg_prob(
             ).alias("avg_prob"),
         )
     )
+
+
+def char_distribution_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group TOTAL-VARIATION distance between the group's char
+    distribution and the whole corpus's:
+
+        tv(g) = 0.5 · Σ_ch | c(g, ch)/n(g) − c(ch)/n |
+
+    over the CORPUS vocabulary (chars a group never emits contribute
+    their full corpus probability) — the distribution-drift monitor a
+    training pipeline runs per source/snapshot to catch a feed going
+    off-profile. Output: (group, n_chars, tv) rounded to ``decimals``.
+
+    Why TV and not KL: KL needs log, and libm log is not correctly
+    rounded — JVM and DuckDB can disagree in the last ulp. TV is
+    division/subtraction/abs only: each probability is ONE IEEE division
+    of two exact integer counts (correctly rounded, engine-portable —
+    same argument as ``lm_avg_prob``), the difference and abs are
+    exactly-rounded double ops, and the sum follows the engine's oracle
+    float rule (per-term DECIMAL(28,12) cast, exact order-independent
+    sum, halve as double, round).
+
+    Plan at 100 TB: one explode -> two map-side-combined groupBys
+    ((group, ch) and ch — shuffles of |groups|·|vocab| and |vocab|
+    rows); the |vocab|-row and |groups|-row frames join into a bounded
+    grid (broadcast), and the 1-row corpus total broadcasts onto it —
+    the corpus is scanned once, nothing corpus-sized shuffles."""
+    chars = docs.select(
+        F.col(group_col).alias("group"),
+        F.explode(F.filter(F.split(F.col(text_col), ""), lambda c: c != "")).alias(
+            "ch"
+        ),
+    )
+    per = chars.groupBy("group", "ch").agg(F.count(F.lit(1)).alias("c_gc"))
+    vocab = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("c_c"))
+    per_g = chars.groupBy("group").agg(F.count(F.lit(1)).alias("n_g"))
+    total = vocab.agg(F.sum("c_c").alias("n"))
+
+    grid = per_g.join(F.broadcast(vocab))  # |groups| x |vocab|, bounded
+    term = F.abs(
+        F.coalesce(F.col("c_gc"), F.lit(0)).cast("double") / F.col("n_g")
+        - F.col("c_c").cast("double") / F.col("n")
+    )
+    return (
+        grid.join(F.broadcast(per), ["group", "ch"], "left")
+        .join(F.broadcast(total))
+        .groupBy("group")
+        .agg(
+            F.max("n_g").cast("long").alias("n_chars"),
+            F.round(
+                F.sum(term.cast("decimal(28,12)")).cast("double") / 2,
+                decimals,
+            ).alias("tv"),
+        )
+    )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models" §A1.1 class of filters) as a per-doc flag frame:
+
+    * ``word_count_ok``    — min_words <= n_words <= max_words
+    * ``mean_word_len_ok`` — mean word length in [3, 10]
+    * ``hash_ratio_ok``    — '#' chars <= 10% of chars
+    * ``ellipsis_ratio_ok``— '...' occurrences <= 30% of words
+    * ``alpha_word_ok``    — >= 80% of words contain a letter
+    * ``stopword_ok``      — >= 2 distinct common stopwords present
+    * ``kept``             — all of the above
+
+    Every threshold is evaluated in INTEGER cross-multiplied form
+    (3·n <= len <= 10·n, not len/n in [3,10]) — no float division, so
+    the flags are bit-portable across engines by construction. Words =
+    single-space split, empties dropped (the engine's convention).
+
+    Plan: pure JVM expressions, zero shuffles/joins — a pushed filter at
+    any scale."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_words = F.size(words)
+    total_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    n_chars = F.length(text_col)
+    n_hash = n_chars - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    n_ellipsis = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_len_ok = (total_len >= 3 * n_words.cast("long")) & (
+        total_len <= 10 * n_words.cast("long")
+    )
+    hash_ok = n_hash * 10 <= n_chars
+    ellipsis_ok = n_ellipsis.cast("long") * 10 <= F.lit(3) * n_words.cast("long")
+    alpha_ok = n_alpha * 5 >= n_words * 4
+    stop_ok = n_stop >= 2
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        hash_ok.alias("hash_ratio_ok"),
+        ellipsis_ok.alias("ellipsis_ratio_ok"),
+        alpha_ok.alias("alpha_word_ok"),
+        stop_ok.alias("stopword_ok"),
+        (
+            word_count_ok & mean_len_ok & hash_ok & ellipsis_ok & alpha_ok & stop_ok
+        ).alias("kept"),
+    )

@@ -153,3 +153,84 @@ def bpe_train(
     return seq.sparkSession.createDataFrame(
         rows, "round int, left int, right int, new_id int, n_pairs long"
     )
+
+
+def bpe_encode(
+    seq: DataFrame,
+    merges,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED merge table: apply every merge
+    greedily left-to-right in rank (round) order — the exact replay of
+    the training rounds, so ``bpe_encode(seq, bpe_train(seq, n))``
+    equals the training loop's final sequence state.
+
+    ``merges``: the ``bpe_train`` result — a DataFrame with
+    (round, left, right, new_id) or an iterable of
+    (left, right, new_id) already in rank order. A merge table is
+    vocab-bounded (tens of thousands of rows, kilobytes), so it is
+    collected once on the driver and shipped in the task closure.
+
+    Plan at 100 TB: ONE narrow Arrow-batched pass over the corpus —
+    plan depth O(1) regardless of |merges|, vs chaining
+    ``apply_merge`` n times (an n-deep mapInPandas pipeline whose
+    serialized plan and Python-worker hops grow per merge). No shuffle;
+    ``n_tok`` (when present) is recomputed."""
+    if isinstance(merges, DataFrame):
+        table = [
+            (int(r["left"]), int(r["right"]), int(r["new_id"]))
+            for r in merges.orderBy("round").collect()
+        ]
+    else:
+        table = [(int(l), int(r), int(n)) for l, r, n in merges]
+
+    fields = seq.schema.fields
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.ArrayType(T.IntegerType()) if f.name == tokens_col else f.dataType,
+                f.nullable,
+            )
+            for f in fields
+        ]
+    )
+    has_ntok = "n_tok" in [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            merged = []
+            for v in pdf[tokens_col]:
+                t = np.asarray(v, dtype=np.int64)
+                for left, right, new_id in table:
+                    t = _merge_one(t, left, right, new_id)
+                merged.append(t.astype(np.int32))
+            pdf = pdf.copy()
+            pdf[tokens_col] = merged
+            if has_ntok:
+                pdf["n_tok"] = np.fromiter(
+                    (len(v) for v in merged), dtype=np.int64, count=len(merged)
+                )
+            yield pdf
+
+    return seq.mapInPandas(run, schema=out_schema)
+
+
+def unigram_stats(seq: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(token, n, rank): corpus token frequencies with Zipf rank
+    (count DESC, token ASC — total order). The vocabulary-statistics
+    report a tokenizer-training run starts from.
+
+    Plan: explode -> ONE map-side-combined groupBy whose shuffle is
+    |vocab| rows; the rank window runs over that |vocab|-row aggregate
+    — bounded by construction (the ``tok_unigram_zipf`` entry in
+    tools/plan_audit.py GLOBAL_WINDOW_WAIVERS)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        seq.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -63,3 +63,31 @@ def shuffle_manifest(
             (F.col("_base") + F.col("_lr")).cast("long").alias("position"),
         )
     )
+
+
+def epoch_batches(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    bucket_prefix_len: int = 2,
+) -> DataFrame:
+    """The manifest a data loader actually consumes: each row's global
+    batch assignment under the deterministic epoch permutation —
+    (id, position, batch_no, pos_in_batch) with
+    ``batch_no = (position - 1) // batch_size`` (0-based). A pure
+    projection on ``shuffle_manifest``: same plan shape, no extra
+    exchange; re-deriving with the same salt reproduces the exact
+    batch composition on any cluster (resumable training)."""
+    m = shuffle_manifest(df, id_col, salt, bucket_prefix_len)
+    p0 = F.col("position") - 1
+    rem = p0 % batch_size
+    # (p0 - rem) / batch_size divides an exact multiple: the correctly-
+    # rounded IEEE quotient IS the integer, so the cast never truncates
+    # a near-miss (p0 / batch_size alone could, at extreme row counts)
+    return m.select(
+        id_col,
+        "position",
+        ((p0 - rem) / batch_size).cast("long").alias("batch_no"),
+        rem.cast("int").alias("pos_in_batch"),
+    )

@@ -56,6 +56,7 @@ def curate(
     hash_fn: str = "xxh64",
     lsh_max_bucket_size: int | None = 1000,
     drop_stats: dict | None = None,
+    decontam_mode: str = "exact",
 ) -> DataFrame:
     """Audit frame (doc_id, source, n_tok, stage): pipeline-order stage
     attribution per input doc. ``n_tok`` is the char-token count
@@ -70,7 +71,16 @@ def curate(
     "lsh_max_bucket"}`` so a capped production run REPORTS what the cap
     truncated instead of silently narrowing recall
     (``operators/dedup.py:lsh_bucket_stats``). No-op unless
-    ``near_dup=True``."""
+    ``near_dup=True``.
+
+    ``decontam_mode``: ``"exact"`` runs the broadcast-gram-set report on
+    every survivor; ``"bloom_exact"`` is the two-tier 100 TB path — the
+    128 KiB bloom bitmap prefilters the corpus in one narrow pass
+    (``decontam.bloom_decontaminate``), and the exact report runs ONLY
+    on bloom-flagged docs. Bloom has no false negatives, so the
+    contaminated set (hence the whole audit) is IDENTICAL to exact mode;
+    only the exact stage's gram-explode cost shrinks to the flagged
+    sliver."""
     from ..functions.text import quality_score
     from ..operators.decontam import contamination_report
 
@@ -132,11 +142,20 @@ def curate(
         d = d.withColumn("_near_dup", F.lit(None).cast("boolean"))
 
     # 3. decontamination: contaminated ids among remaining survivors
-    rep = contamination_report(
-        surv.select("doc_id", F.col("_text").alias(text_col)),
-        benchmark.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
-        n=contam_n,
-    )
+    corpus_side = surv.select("doc_id", F.col("_text").alias(text_col))
+    bench_side = benchmark.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    if decontam_mode == "bloom_exact":
+        from ..operators.decontam import bloom_decontaminate
+
+        flagged = (
+            bloom_decontaminate(corpus_side, bench_side, n=contam_n)
+            .filter(F.col("flagged"))
+            .select("doc_id")
+        )
+        corpus_side = corpus_side.join(flagged, "doc_id", "left_semi")
+    elif decontam_mode != "exact":
+        raise ValueError(f"unknown decontam_mode: {decontam_mode!r}")
+    rep = contamination_report(corpus_side, bench_side, n=contam_n)
     contam = rep.filter(F.col("contaminated")).select(
         "doc_id", F.lit(True).alias("_contam")
     )

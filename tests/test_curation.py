@@ -191,3 +191,34 @@ def test_curate_drop_stats_surfaces_lsh_cap_truncation(spark):
         hash_fn="md5", lsh_max_bucket_size=None, drop_stats=stats2,
     )
     assert stats2["lsh_n_dropped"] == 0
+
+
+def test_curate_bloom_exact_mode_identical_to_exact(spark):
+    # real corpus slice: bloom prefilter + exact-on-flagged must produce
+    # the SAME audit as exact mode (bloom has no false negatives)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "text", "source")
+    )
+    bench = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text", "source")
+    )
+    a = sorted(map(tuple, curate(docs, bench, min_quality=0.0).collect()))
+    b = sorted(
+        map(
+            tuple,
+            curate(
+                docs, bench, min_quality=0.0, decontam_mode="bloom_exact"
+            ).collect(),
+        )
+    )
+    assert a == b and any(r[3] == "contaminated" for r in a)
+
+
+def test_curate_unknown_decontam_mode_raises(spark):
+    docs = _docs(spark, [(1, GOOD, "a")])
+    with pytest.raises(ValueError, match="decontam_mode"):
+        curate(docs, docs, decontam_mode="fuzzy")

@@ -302,3 +302,154 @@ def test_rollup_upsert_equals_full_recompute(spark):
     assert got == want
     # the shrunken doc's trailing windows are GONE (doc a: 9 tokens -> 2)
     assert max(w for d, w, *_ in got if d == "a") == 0
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_equals_chained_apply_merge(spark):
+    rows = [
+        (str(i), [int(x) for x in np.random.RandomState(i).randint(1, 6, 30)])
+        for i in range(40)
+    ] + [("solo", [3])]
+    seq = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    merges = bpe_train(seq, n_merges=3)
+    table = [(r["left"], r["right"], r["new_id"]) for r in merges.orderBy("round").collect()]
+    chained = seq
+    for left, right, new_id in table:
+        chained = apply_merge(chained, left, right, new_id)
+    from processor_post_timeseries_spark.operators.bpe import bpe_encode
+
+    got = {r["doc_id"]: r["tokens"] for r in bpe_encode(seq, merges).collect()}
+    want = {r["doc_id"]: r["tokens"] for r in chained.collect()}
+    assert got == want
+    assert got["solo"] == [3]  # 1-token docs pass through
+
+
+def test_bpe_encode_accepts_plain_merge_list_and_updates_ntok(spark):
+    seq = spark.createDataFrame(
+        [("a", [1, 2, 1, 2], 4)], "doc_id string, tokens array<int>, n_tok long"
+    )
+    from processor_post_timeseries_spark.operators.bpe import bpe_encode
+
+    r = bpe_encode(seq, [(1, 2, 256)]).collect()[0]
+    assert r["tokens"] == [256, 256] and r["n_tok"] == 2
+
+
+# ---------------------------------------------------------------------------
+# epoch_batches / unigram_stats / char_distribution_drift
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_batches_consistent_with_manifest(spark):
+    docs = spark.range(0, 333).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: (r["position"], r["batch_no"], r["pos_in_batch"])
+        for r in __import__(
+            "processor_post_timeseries_spark.operators.ordering",
+            fromlist=["epoch_batches"],
+        ).epoch_batches(docs, batch_size=50, salt="e1").collect()
+    }
+    man = {
+        r["doc_id"]: r["position"]
+        for r in shuffle_manifest(docs, salt="e1").collect()
+    }
+    assert len(got) == 333
+    for d, (pos, b, pib) in got.items():
+        assert pos == man[d] and b == (pos - 1) // 50 and pib == (pos - 1) % 50
+
+
+def test_unigram_stats_rank_total_order(spark):
+    from processor_post_timeseries_spark.operators.bpe import unigram_stats
+
+    seq = spark.createDataFrame(
+        [("a", [1, 1, 1, 2, 2, 3]), ("b", [2, 3, 3, 3, 9])],
+        "doc_id string, tokens array<int>",
+    )
+    rows = {r["token"]: (r["n"], r["rank"]) for r in unigram_stats(seq).collect()}
+    # counts: 3->4, 1->3, 2->3, 9->1; tie (1,2) broken by token asc
+    assert rows == {3: (4, 1), 1: (3, 2), 2: (3, 3), 9: (1, 4)}
+
+
+def test_char_drift_zero_for_identical_distribution_and_bounds(spark):
+    from processor_post_timeseries_spark.functions.text import (
+        char_distribution_drift,
+    )
+
+    same = spark.createDataFrame(
+        [(1, "abab", "x"), (2, "abab", "y")], "doc_id long, text string, source string"
+    )
+    out = {r["group"]: r["tv"] for r in char_distribution_drift(same).collect()}
+    assert out == {"x": 0.0, "y": 0.0}
+    skew = spark.createDataFrame(
+        [(1, "aaaa", "x"), (2, "bbbb", "y")], "doc_id long, text string, source string"
+    )
+    out2 = {r["group"]: r["tv"] for r in char_distribution_drift(skew).collect()}
+    # each source: |1 - 0.5| + |0 - 0.5| halved = 0.5
+    assert out2 == {"x": 0.5, "y": 0.5}
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_flags
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_flags_crafted_cases(spark):
+    from processor_post_timeseries_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    good = " ".join(["the", "be", "word"] + ["solid"] * 60)
+    short = "the be tiny"
+    hashy = "the be " + "# " * 60
+    nostop = " ".join(["zzz"] * 60)
+    longw = "the be " + " ".join(["x" * 40] * 60)
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, hashy), (4, nostop), (5, longw)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["kept"]
+    assert not out[2]["word_count_ok"] and not out[2]["kept"]
+    assert not out[3]["hash_ratio_ok"] and not out[3]["alpha_word_ok"]
+    assert not out[4]["stopword_ok"]
+    assert not out[5]["mean_word_len_ok"]
+    # integer-form thresholds: mean len exactly 10 passes (boundary)
+    b = spark.createDataFrame(
+        [(9, "the be " + " ".join(["y" * 11] * 58))], "doc_id long, text string"
+    )
+    row = gopher_quality_flags(b).collect()[0]
+    # total_len = 3+2+58*11 = 643 > 10*60: fails; craft exact boundary
+    docs10 = spark.createDataFrame(
+        [(10, " ".join(["z" * 10] * 50 + ["the", "be"] + ["w" * 10] * 8))],
+        "doc_id long, text string",
+    )
+    r10 = gopher_quality_flags(docs10).collect()[0]
+    # 60 words, total_len = 58*10 + 3 + 2 = 585 <= 600: boundary holds
+    assert r10["mean_word_len_ok"] and r10["kept"]
+
+
+# ---------------------------------------------------------------------------
+# property: _merge_one == string replace semantics (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_one_matches_replace_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=4), max_size=40),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(tokens, left, right):
+        got = _merge_one(np.asarray(tokens, np.int64), left, right, 9).tolist()
+        s = "".join(chr(t) for t in tokens)
+        want = [9 if c == "\x09" else ord(c) for c in s.replace(chr(left) + chr(right), "\x09")]
+        assert got == want, (tokens, left, right)
+
+    check()

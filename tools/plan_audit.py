@@ -43,6 +43,10 @@ WAIVERS = {
     "lm_avg_prob": "broadcast crossJoin of the 1-row vocab-size "
     "aggregate (functions/text.py lm_avg_prob) onto the bigram stream — "
     "bounded by construction; the model count joins are broadcasts",
+    "src_char_drift": "broadcast crossJoins of the |vocab|-row and "
+    "1-row-total aggregates building the |groups|x|vocab| grid "
+    "(functions/text.py char_distribution_drift) — every side bounded "
+    "by construction; the corpus is scanned once, never joined",
 }
 
 # Deliberate GLOBAL windows (partition arity 0). Spark logs
@@ -74,6 +78,11 @@ GLOBAL_WINDOW_WAIVERS = {
     "train_order_manifest": "shuffle_manifest's phase-2 bucket-base "
     "frame: one row per md5-hex prefix bucket, 16^2 = 256 rows total "
     "(operators/ordering.py two-phase rank)",
+    "train_order_batches": "same 256-row bucket-base frame via the "
+    "embedded shuffle_manifest plan (epoch_batches is a projection)",
+    "tok_unigram_zipf": "Zipf rank window over the |vocab|-row "
+    "unigram aggregate (operators/bpe.py unigram_stats) — bounded by "
+    "the token id space, not the corpus",
 }
 
 
