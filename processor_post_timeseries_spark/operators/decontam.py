@@ -106,14 +106,45 @@ def bloom_positions(shingle_col, k: int = 3, hex_digits: int = 5):
     ]
 
 
-def bloom_decontaminate(
-    corpus: DataFrame,
+def build_bloom_bitmap(
     benchmark: DataFrame,
     n: int = 5,
     k: int = 3,
     hex_digits: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+) -> np.ndarray:
+    """The benchmark gram set as an m = 16^hex_digits-bit bloom bitmap
+    (bool ndarray). ONE bounded aggregation (distinct positions, capped
+    by min(k·|grams|, m)); build it once and reuse it across calls —
+    e.g. every micro-batch of a streaming ingest gate — instead of
+    re-scanning the benchmark per batch."""
+    m = 16**hex_digits
+    bench_grams = shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+    pos_rows = (
+        bench_grams.select(
+            F.explode(F.array(*bloom_positions(F.col("shingle"), k, hex_digits))).alias(
+                "p"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m, dtype=bool)
+    if pos_rows:
+        bitmap[np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)] = True
+    return bitmap
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 5,
+    k: int = 3,
+    hex_digits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bitmap: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate-membership decontamination: per corpus doc
     (doc_id, n_grams, n_hits_bloom, flagged) where a gram "hits" iff
@@ -133,24 +164,16 @@ def bloom_decontaminate(
 
     The kernel re-derives grams with the SAME convention as
     ``dedup.shingles``/``word_ngram_array``: split on single spaces,
-    n consecutive words joined by a space, DISTINCT per doc."""
+    n consecutive words joined by a space, DISTINCT per doc.
+
+    Pass a precomputed ``bitmap`` (``build_bloom_bitmap``) to skip the
+    benchmark scan — the streaming gate builds it once per stream."""
     import hashlib
 
-    m = 16**hex_digits
-    # benchmark bitmap: distinct positions, bounded by min(k·|grams|, m)
-    bench_grams = shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
-    pos_rows = (
-        bench_grams.select(
-            F.explode(F.array(*bloom_positions(F.col("shingle"), k, hex_digits))).alias(
-                "p"
-            )
-        )
-        .distinct()
-        .collect()
-    )
-    bitmap = np.zeros(m, dtype=bool)
-    if pos_rows:
-        bitmap[np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)] = True
+    if bitmap is None:
+        if benchmark is None:
+            raise ValueError("bloom_decontaminate needs benchmark or bitmap")
+        bitmap = build_bloom_bitmap(benchmark, n, k, hex_digits, text_col, id_col)
 
     out_schema = T.StructType(
         [

@@ -37,11 +37,29 @@ def gate_batch(
     benchmark: DataFrame,
     n: int = 5,
     min_quality: float = 0.0,
+    bloom_bitmap=None,
 ) -> DataFrame:
     """Pure (testable) gate: admit docs that are NOT contaminated and
     score at least ``min_quality``. Docs too short to have n-grams are
-    admitted (nothing to test), mirroring the batch report's domain."""
-    rep = contamination_report(batch, benchmark, n=n)
+    admitted (nothing to test), mirroring the batch report's domain.
+
+    ``bloom_bitmap`` (``decontam.build_bloom_bitmap``, built ONCE per
+    stream): two-tier mode — the bitmap prefilters the batch in one
+    narrow pass and the exact report runs only on bloom-flagged docs.
+    Bloom has no false negatives, so the admitted set is IDENTICAL to
+    exact mode; per-batch cost drops from a benchmark-gram join over
+    the whole batch to a closure-resident bitmap probe."""
+    exact_side = batch
+    if bloom_bitmap is not None:
+        from ..operators.decontam import bloom_decontaminate
+
+        pre = (
+            bloom_decontaminate(batch, bitmap=bloom_bitmap, n=n)
+            .filter(F.col("flagged"))
+            .select("doc_id")
+        )
+        exact_side = batch.join(pre, "doc_id", "left_semi")
+    rep = contamination_report(exact_side, benchmark, n=n)
     flagged = rep.filter(F.col("contaminated")).select("doc_id")
     return (
         batch.join(flagged, "doc_id", "left_anti")
@@ -269,6 +287,7 @@ def run_ingest_gate_available_now(
     n: int = 5,
     min_quality: float = 0.0,
     dedupe: bool = False,
+    decontam_mode: str = "exact",
 ):
     """readStream(documents parquet) -> per-batch gate -> per-batch
     overwrite parquet (``out_dir/batch=<id>``), trigger availableNow.
@@ -278,11 +297,29 @@ def run_ingest_gate_available_now(
     sink (a batch replayed after a mid-write failure overwrites its own
     partition instead of appending a second copy). Readers scan
     ``out_dir`` as one partitioned dataset; ``batch`` appears as a
-    partition column."""
+    partition column.
+
+    ``decontam_mode="bloom_exact"``: the benchmark bloom bitmap is built
+    ONCE before the stream starts and probed per batch; the exact gram
+    join shrinks to bloom-flagged docs. Admission decisions are
+    identical to exact mode (no false negatives)."""
+    bloom_bitmap = None
+    if decontam_mode == "bloom_exact":
+        from ..operators.decontam import build_bloom_bitmap
+
+        bloom_bitmap = build_bloom_bitmap(benchmark, n=n)
+    elif decontam_mode != "exact":
+        raise ValueError(f"unknown decontam_mode: {decontam_mode!r}")
     src = spark.readStream.schema(DOC_SCHEMA).parquet(in_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        admitted = gate_batch(batch_df, benchmark, n=n, min_quality=min_quality)
+        admitted = gate_batch(
+            batch_df,
+            benchmark,
+            n=n,
+            min_quality=min_quality,
+            bloom_bitmap=bloom_bitmap,
+        )
         if dedupe:
             admitted = dedup_against_admitted(spark, admitted, out_dir, batch_id)
         write_admitted_batch(admitted, out_dir, batch_id)

@@ -64,6 +64,43 @@ def test_streaming_gate_exactly_once_across_restart(spark, tmp_path):
     assert out.filter(F.col("doc_id") == 1).count() == 1
 
 
+def test_gate_batch_bloom_exact_identical_to_exact(spark):
+    """Two-tier mode admits EXACTLY the exact-mode set: bloom has no
+    false negatives, and flagged docs are re-verified exactly."""
+    from processor_post_timeseries_spark.operators.decontam import build_bloom_bitmap
+
+    bench = _docs(spark, [(900, "q w e r t"), (901, "u v w x y z")])
+    batch = _docs(
+        spark,
+        [(i, f"tok{i} a b c d e{i}") for i in range(20)]
+        + [(100, "x q w e r t y"), (101, "p u v w x y z q"), (102, "hi")],
+    )
+    exact = {r["doc_id"] for r in gate_batch(batch, bench, n=5).collect()}
+    bm = build_bloom_bitmap(bench, n=5)
+    two_tier = {
+        r["doc_id"] for r in gate_batch(batch, bench, n=5, bloom_bitmap=bm).collect()
+    }
+    assert two_tier == exact
+    assert 100 not in exact and 101 not in exact and 102 in exact
+
+
+def test_streaming_gate_bloom_exact_mode(spark, tmp_path):
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    bench = _docs(spark, [(900, "q w e r t")])
+    _docs(spark, [(1, "a b c d e f"), (2, "x q w e r t y")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = run_ingest_gate_available_now(
+        spark, in_dir, out_dir, ck, bench, n=5, decontam_mode="bloom_exact"
+    )
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} == {1}
+    with pytest.raises(ValueError):
+        run_ingest_gate_available_now(
+            spark, in_dir, out_dir, ck, bench, n=5, decontam_mode="nope"
+        )
+
+
 def test_streaming_dedupe_across_waves(spark, tmp_path):
     """dedupe=True drops content-duplicates both within a micro-batch
     and against everything ANY earlier batch admitted — the dedup state
