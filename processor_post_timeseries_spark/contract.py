@@ -4468,3 +4468,316 @@ FROM s
 
 
 _REGISTRY["gopher_quality_flags"] = _q_gopher_quality_flags()
+
+
+# ==========================================================================
+# Batch r5-final — exact histogram quantiles, linear-interp gap-fill,
+# integer-exact anomaly flags, containment dedup, source overlap matrix
+# ==========================================================================
+
+
+def _q_agg_exact_quantiles():
+    """A2+ — exact distributed quantiles, counting-sort form (operators/
+    quantiles.py): the reference's np.median rate inference
+    (/root/reference/processor/reader.py:85-96) generalized to a
+    scalable exact per-group quantile over an integral domain. Oracle
+    replays the same cross-multiplied integer rank thresholds — no
+    float quantile math in either engine."""
+
+    def run(spark, sf_dir):
+        from .operators.quantiles import exact_group_quantiles
+
+        load_views(spark, sf_dir)
+        return exact_group_quantiles(
+            spark.table("documents"), "source", "n_chars", (0.5, 0.9, 0.99)
+        )
+
+    return run, """
+WITH h AS (
+  SELECT source AS grp, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT grp, v,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY grp) AS n
+  FROM h
+)
+SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN cum * 2 >= n * 1 THEN v END) AS p50,
+       MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90,
+       MIN(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
+FROM cum GROUP BY grp
+"""
+
+
+_REGISTRY["agg_exact_quantiles"] = _q_agg_exact_quantiles()
+
+
+def _q_w2_gapfill_interp():
+    """W2 policy #2 — LINEAR interpolation gap-fill (operators/
+    gapfill.py::interp_fill) over the same minute-grid fixture as
+    w2_gapfill_grid (which forward-fills). Interior gaps get the
+    straight line between nearest observed neighbors; edges clamp.
+    The measure is fixed-pointed to integer cents and the quotient is
+    exact portable floor division (pmod form) — no floats anywhere, so
+    both engines hash identically (a per-row ROUND(double,6) variant
+    measurably disagreed in the last ulp ~1/10^4 rows)."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.gapfill import interp_fill
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events").filter(F.col("user_id") < 30)
+        obs = ev.groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) div 60000000").alias("win"),
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v")
+        )
+        b = obs.groupBy("user_id").agg(
+            F.min("win").alias("w0"), F.max("win").alias("w1")
+        )
+        grid = b.select(
+            "user_id", F.explode(F.sequence("w0", "w1")).alias("win")
+        )
+        joined = grid.join(obs, ["user_id", "win"], "left")
+        filled = interp_fill(joined, "user_id", "win", "v")
+        return filled.groupBy("user_id").agg(
+            F.count("*").alias("n_grid"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_interp"),
+            F.sum("v_interp").cast("bigint").alias("sum_interp_cents"),
+        )
+
+    return run, """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS win,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+), b AS (
+  SELECT user_id, MIN(win) AS w0, MAX(win) AS w1 FROM obs GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(w0, w1 + 1)) AS win FROM b
+), joined AS (
+  SELECT g.user_id, g.win, o.v FROM grid g
+  LEFT JOIN obs o ON g.user_id = o.user_id AND g.win = o.win
+), nb AS (
+  SELECT user_id, win, v,
+    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY win
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN win END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY win
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_w,
+    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY win
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN win END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY win
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_w
+  FROM joined
+), filled AS (
+  SELECT user_id, win, v,
+    CASE
+      WHEN v IS NOT NULL THEN v
+      WHEN prev_v IS NULL THEN next_v
+      WHEN next_v IS NULL THEN prev_v
+      ELSE prev_v + CAST((
+             (next_v - prev_v) * (win - prev_w)
+             - ((((next_v - prev_v) * (win - prev_w)) % (next_w - prev_w)
+                 + (next_w - prev_w)) % (next_w - prev_w))
+           ) / (next_w - prev_w) AS BIGINT)
+    END AS v_interp
+  FROM nb
+)
+SELECT user_id, COUNT(*) AS n_grid,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
+       CAST(SUM(v_interp) AS BIGINT) AS sum_interp_cents
+FROM filled GROUP BY user_id
+"""
+
+
+_REGISTRY["w2_gapfill_interp"] = _q_w2_gapfill_interp()
+
+
+def _q_w_anomaly_zscore():
+    """F4+ — per-group sigma anomaly flags, integer-exact (operators/
+    anomaly.py): the reference's rate-tolerance consistency predicate
+    (/root/reference/processor/reader.py:98-106) generalized to a
+    cross-multiplied z^2 > k^2 test over integer cents; ONE bounded agg
+    + broadcast + zero-shuffle flag projection. Oracle replays the
+    identical integer inequality in HUGEINT."""
+
+    def run(spark, sf_dir):
+        from .operators.anomaly import zscore_flags
+
+        load_views(spark, sf_dir)
+        return zscore_flags(
+            spark.table("events"), "event_type", "value", "event_id", k=2
+        )
+
+    return run, """
+WITH c AS (
+  SELECT event_id AS id, event_type AS grp,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_c
+  FROM events
+), s AS (
+  SELECT grp, COUNT(*) AS n, SUM(v_c) AS sv, SUM(v_c * v_c) AS q
+  FROM c GROUP BY grp
+), j AS (
+  SELECT id, c.grp, v_c, n, sv, q,
+         CAST(v_c AS HUGEINT) * n - sv AS dev,
+         CAST(n AS HUGEINT) * q - CAST(sv AS HUGEINT) * sv AS var_num
+  FROM c JOIN s ON c.grp = s.grp
+)
+SELECT id, grp, v_c AS value_cents,
+       (n > 1 AND dev * dev * (n - 1) > 4 * CAST(n AS HUGEINT) * var_num)
+         AS flagged,
+       CASE WHEN n > 1 AND dev * dev * (n - 1) > 4 * CAST(n AS HUGEINT) * var_num
+            THEN CAST(SIGN(dev) AS INTEGER) ELSE 0 END AS side
+FROM j
+"""
+
+
+_REGISTRY["w_anomaly_zscore"] = _q_w_anomaly_zscore()
+
+
+def _q_dedup_containment():
+    """Dedup+ — directional n-gram containment (operators/dedup.py::
+    ngram_containment_pairs): |A∩B|/|A| — the asymmetric near-dup
+    measure that catches a short doc wholly embedded in a long one
+    (Jaccard misses it). Same inverted-index shape as the Jaccard
+    verifier; oracle shares the shingle CTE."""
+
+    def run(spark, sf_dir):
+        from .operators.dedup import ngram_containment_pairs
+
+        load_views(spark, sf_dir)
+        return ngram_containment_pairs(
+            spark.table("documents"), n=3, threshold=0.5
+        )
+
+    return run, f"""
+WITH {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(n_common / sa.n_sh, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE n_common >= 0.5 * sa.n_sh
+"""
+
+
+_REGISTRY["dedup_containment"] = _q_dedup_containment()
+
+
+def _q_src_overlap_matrix():
+    """Mixture+ — cross-source shingle overlap matrix (operators/
+    dedup.py::source_overlap_matrix): which corpus slices share content
+    (mirrored crawls / syndication), so mixture rates don't
+    double-count. Shingles dedup'd to the source grain first; the
+    per-shingle pair walk is bounded by |sources|."""
+
+    def run(spark, sf_dir):
+        from .operators.dedup import source_overlap_matrix
+
+        load_views(spark, sf_dir)
+        return source_overlap_matrix(spark.table("documents"), n=3)
+
+    return run, """
+WITH words AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT source, unnest(list_distinct(
+           list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+), sh AS (
+  SELECT DISTINCT source AS src, shingle FROM sh0
+), sizes AS (
+  SELECT src, COUNT(*) AS n_sh FROM sh GROUP BY src
+), inter AS (
+  SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.src < b.src GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = source_a
+JOIN sizes sb ON sb.src = source_b
+"""
+
+
+_REGISTRY["src_overlap_matrix"] = _q_src_overlap_matrix()
+
+
+def _q_lttb_downsample():
+    """Viz+ — largest-triangle downsample, bucket-mean-anchor LTTB
+    variant (operators/downsample.py::lttb_downsample): the
+    perceptually-weighted one-point-per-pixel companion to
+    m4_downsample. Integer-exact: x is the per-user minute offset, y is
+    cents, the doubled triangle area is compared after scaling by
+    n_l^2*n_r — pure int64, so the argmax is bit-portable. Oracle
+    replays the identical scaled-area argmax."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.downsample import lttb_downsample
+
+        load_views(spark, sf_dir)
+        ev = spark.table("events").filter(F.col("user_id") < 30)
+        obs = ev.groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) div 60000000").alias("win"),
+        ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"))
+        b = obs.groupBy("user_id").agg(F.min("win").alias("w0"))
+        pts = obs.join(b, "user_id").select(
+            F.col("user_id").alias("part"),
+            (F.col("win") - F.col("w0")).alias("x"),
+            F.col("v").alias("y"),
+        )
+        return lttb_downsample(pts, 60, part_col="part", x_col="x", y_col="y")
+
+    return run, """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS win,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+), b AS (
+  SELECT user_id, MIN(win) AS w0 FROM obs GROUP BY user_id
+), p AS (
+  SELECT o.user_id AS part, o.win - b.w0 AS x, o.v AS y,
+         (o.win - b.w0) // 60 AS bucket
+  FROM obs o JOIN b USING (user_id)
+), sums AS (
+  SELECT part, bucket, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM p GROUP BY 1, 2
+), j AS (
+  SELECT p.part, p.bucket, p.x, p.y,
+         l.n AS n_l, l.sx AS sx_l, l.sy AS sy_l,
+         r.n AS n_r, r.sx AS sx_r, r.sy AS sy_r
+  FROM p
+  LEFT JOIN sums l ON l.part = p.part AND l.bucket = p.bucket - 1
+  LEFT JOIN sums r ON r.part = p.part AND r.bucket = p.bucket + 1
+), a AS (
+  SELECT *, CASE WHEN n_l IS NOT NULL AND n_r IS NOT NULL THEN
+    ABS((sx_l * n_r - sx_r * n_l) * (y * n_l - sy_l)
+        - (sx_l - x * n_l) * (sy_r * n_l - sy_l * n_r)) END AS area2
+  FROM j
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part, bucket
+              ORDER BY area2 DESC NULLS LAST, x ASC) AS rn
+  FROM a
+)
+SELECT part, bucket, x, y, CAST(COALESCE(area2, -1) AS BIGINT) AS area2
+FROM rk WHERE rn = 1
+"""
+
+
+_REGISTRY["lttb_downsample"] = _q_lttb_downsample()

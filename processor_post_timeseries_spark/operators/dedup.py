@@ -552,3 +552,90 @@ def duplicate_components(
         F.col("lbl").alias("comp_id"),
         F.col("comp_size"),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Directional n-gram containment ≥ threshold: (doc_a, doc_b, containment).
+
+    ``containment(a -> b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|`` —
+    the asymmetric near-dup measure Jaccard misses: a short doc wholly
+    embedded in a long one has tiny Jaccard but containment 1.0 (the
+    quote/boilerplate-absorption case in training-data dedup; cf. the
+    reference's one-way 2% rate-tolerance check,
+    /root/reference/processor/reader.py:98-106, also an asymmetric
+    "is A explained by B" predicate). Same inverted-index shape as
+    ngram_jaccard_pairs — only shingle-sharing pairs materialize, both
+    directions of each pair emitted, denominator = left doc's shingles.
+    """
+    sh = shingles(docs, n, id_col=id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    return (
+        inter.join(sa, "doc_a")
+        .filter(F.col("n_common") >= F.lit(threshold) * F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame, n: int = 3, source_col: str = "source"
+) -> DataFrame:
+    """Pairwise source-level shingle overlap: (source_a, source_b,
+    n_common, jaccard) for source_a < source_b.
+
+    Cross-SOURCE contamination map — which corpus slices share content
+    (mirrored crawls, syndication) — used to pick mixture rates that
+    don't double-count. Shingles are first deduplicated to the source
+    grain (one map-side-combined distinct, output ≤ |sources| x |vocab|),
+    then the inverted-index pair walk is bounded per shingle by
+    |sources| (a constant), so the whole matrix costs one corpus scan
+    plus |sources|^2-bounded joins — no doc-level pair explosion.
+    """
+    from ..functions.text import word_ngram_array
+
+    sh = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(F.array_distinct(word_ngram_array(F.col("text"), n))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("src", "source_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("src", "source_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -43,3 +43,91 @@ def m4_downsample(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def lttb_downsample(
+    pts: DataFrame,
+    bucket_width: int,
+    part_col: str = "part",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Largest-triangle downsample (LTTB family, Steinarsson 2013) with
+    bucket-MEAN anchors — integer-exact and fully parallel.
+
+    Classic LTTB walks buckets sequentially (the left anchor is the
+    previously *selected* point), which serializes each channel. The
+    bucket-mean-anchor variant replaces both anchors with the neighbor
+    buckets' average points; every bucket then decides independently,
+    so the whole operator is two bounded shuffles — the standard trade
+    for parallel/SQL LTTB implementations, and visually equivalent at
+    pixel scale. Complements ``m4_downsample`` (extremes) with the
+    perceptually-weighted single point per pixel.
+
+    Exactness: ``x``/``y`` must be integral (shift x to a per-partition
+    offset, fixed-point y). The doubled triangle area with mean anchors
+    ``A=(Sx_l/n_l, Sy_l/n_l)``, ``C=(Sx_r/n_r, Sy_r/n_r)`` is compared
+    after scaling by ``n_l^2 * n_r`` (constant within a bucket):
+
+        E = (Sx_l*n_r - Sx_r*n_l) * (y*n_l - Sy_l)
+          - (Sx_l - x*n_l) * (Sy_r*n_l - Sy_l*n_r)
+
+    — pure int64 products (fits while |x|,|y| < ~1e6 and bucket size
+    <= ~1e3), so the argmax point is bit-identical in every engine; ties
+    break to the smallest x. Buckets missing a left or right neighbor
+    (series edges, empty pixels) keep their smallest-x point — the
+    endpoint-retention rule of classic LTTB.
+
+    Plan: one groupBy (part, bucket) for the anchor sums, two joins of
+    the point stream against the (bucket±1)-shifted anchor frame (both
+    sides pre-partitioned on (part, bucket) — AQE plans them without a
+    corpus-wide rescan), one ranked window per (part, bucket).
+    """
+    from pyspark.sql import Window
+
+    b = (F.col(x_col) / F.lit(bucket_width)).cast("bigint")
+    p = pts.select(
+        F.col(part_col).alias("part"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        b.alias("bucket"),
+    )
+    sums = p.groupBy("part", "bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    left = sums.select(
+        "part",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("n").alias("n_l"),
+        F.col("sx").alias("sx_l"),
+        F.col("sy").alias("sy_l"),
+    )
+    right = sums.select(
+        "part",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("n").alias("n_r"),
+        F.col("sx").alias("sx_r"),
+        F.col("sy").alias("sy_r"),
+    )
+    j = p.join(left, ["part", "bucket"], "left").join(
+        right, ["part", "bucket"], "left"
+    )
+    e = (
+        (F.col("sx_l") * F.col("n_r") - F.col("sx_r") * F.col("n_l"))
+        * (F.col("y") * F.col("n_l") - F.col("sy_l"))
+        - (F.col("sx_l") - F.col("x") * F.col("n_l"))
+        * (F.col("sy_r") * F.col("n_l") - F.col("sy_l") * F.col("n_r"))
+    )
+    interior = F.col("n_l").isNotNull() & F.col("n_r").isNotNull()
+    area2 = F.when(interior, F.abs(e)).otherwise(F.lit(None))
+    w = Window.partitionBy("part", "bucket").orderBy(
+        F.desc_nulls_last("area2"), F.asc("x")
+    )
+    return (
+        j.withColumn("area2", area2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("part", "bucket", "x", "y", F.coalesce("area2", F.lit(-1)).alias("area2"))
+    )

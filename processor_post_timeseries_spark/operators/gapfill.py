@@ -119,3 +119,71 @@ def gapfill_samples_sql(obs_df: DataFrame, fill_first: int = 0) -> DataFrame:
         .cast("int")
         .alias("value"),
     )
+
+
+def interp_fill(
+    obs: DataFrame,
+    part_col: str,
+    ord_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Linear interpolation over a sparse INTEGER-valued ordered grid
+    (W2 policy #2).
+
+    Input: one row per grid position per partition, ``val_col`` null at
+    the gaps (the shape ``gapfill_samples_sql``'s frame-join produces);
+    ``val_col`` must be integral (fixed-point the measure first — cents,
+    micro-units). Output adds ``<val_col>_interp``: observed values pass
+    through; interior gaps get the straight line between the nearest
+    observed neighbors, quantized by FLOOR division; leading/trailing
+    gaps clamp to the nearest edge value (the reference's
+    contiguous-segment semantics — nothing is invented beyond the
+    observed extent, reader.py:181-225).
+
+    Bit-portability: floats are avoided entirely. A naive double
+    ``prev + (next-prev)*(pos-prev_pos)/span`` disagrees across engines
+    in the last ulp once per ~10^4 rows (measured Spark-vs-DuckDB), and
+    per-row ROUND(double, 6) amplifies the ulp into a visible 1e-6.
+    Instead the quotient is exact floor division, expressed portably as
+    ``(num - pmod(num, den)) / den`` — ``%`` has dividend-sign
+    semantics in every engine this targets, while ``div``/``//``
+    truncation is NOT portable (Spark truncates toward zero, others
+    floor). The final division is exact (numerator divisible by den,
+    magnitudes < 2^53), so every engine produces the identical integer.
+
+    Scale: two ordered windows per partition (forward + backward pass),
+    both over the already-partitioned grid — no extra shuffle beyond
+    the frame the caller built. The backward pass is deliberately a
+    RUNNING frame over descending order, NOT ``rowsBetween(0,
+    unboundedFollowing)``: Spark executes an UnboundedFollowing frame
+    with ``UnboundedFollowingWindowFunctionFrame``, which re-aggregates
+    current-row..end from scratch for every row — O(n^2) per partition
+    (hours on a 1M-row grid). The descending running frame computes the
+    identical "nearest observed neighbor at-or-after" value in O(n).
+    """
+    wb = (
+        Window.partitionBy(part_col)
+        .orderBy(ord_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(ord_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(val_col)
+    obs_pos = F.when(v.isNotNull(), F.col(ord_col))
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_p = F.last(obs_pos, ignorenulls=True).over(wb)
+    next_v = F.last(v, ignorenulls=True).over(wf)
+    next_p = F.last(obs_pos, ignorenulls=True).over(wf)
+    num = (next_v - prev_v) * (F.col(ord_col) - prev_p)
+    den = next_p - prev_p
+    pm = ((num % den) + den) % den
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + ((num - pm) / den).cast("bigint"))
+    )
+    return obs.withColumn(f"{val_col}_interp", interp.cast("bigint"))

@@ -76,7 +76,7 @@ def main() -> int:
         }
 
     for name, (fn, osql) in _REGISTRY.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not any(p in name for p in name_filter.split("|")):
             continue
         try:
             sdf = fn(spark, sf_dir)
