@@ -4781,3 +4781,105 @@ FROM rk WHERE rn = 1
 
 
 _REGISTRY["lttb_downsample"] = _q_lttb_downsample()
+
+
+_OBS_CENTS_CTE = """
+obs AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS win,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def _obs_cents(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table("events")
+        .groupBy(
+            "user_id", F.expr("unix_micros(ts) div 60000000").alias("win")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"))
+    )
+
+
+def _q_ts_cusum_changepoint():
+    """Trend+ — per-channel CUSUM mean-shift changepoint (operators/
+    trend.py::cusum_changepoint): argmax_k |n*prefix_k - k*total| over
+    the minute-grid cents series — the n^2-scaled classic CUSUM, pure
+    integers so the winning position is bit-portable; ties break to the
+    earliest position. One running window + one bounded agg per channel."""
+
+    def run(spark, sf_dir):
+        from .operators.trend import cusum_changepoint
+
+        load_views(spark, sf_dir)
+        return cusum_changepoint(_obs_cents(spark), "user_id", "win", "v")
+
+    return run, f"""
+WITH {_OBS_CENTS_CTE},
+pre AS (
+  SELECT user_id AS part, win AS pos,
+         SUM(v) OVER (PARTITION BY user_id ORDER BY win
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY win
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+  FROM obs
+), tot AS (
+  SELECT user_id AS part, SUM(v) AS total, COUNT(*) AS n FROM obs GROUP BY 1
+), c AS (
+  SELECT pre.part, pos, n, n * prefix - k * total AS c_k
+  FROM pre JOIN tot ON pre.part = tot.part
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+              ORDER BY ABS(c_k) DESC, pos ASC) AS rn
+  FROM c
+)
+SELECT part, pos AS cp_ord, CAST(c_k AS BIGINT) AS cusum_scaled,
+       CAST(n AS BIGINT) AS n
+FROM rk WHERE rn = 1
+"""
+
+
+_REGISTRY["ts_cusum_changepoint"] = _q_ts_cusum_changepoint()
+
+
+def _q_ts_trend_slope():
+    """Trend+ — per-channel OLS slope as an exact fraction (operators/
+    trend.py::trend_slope): (n*Sxy - Sx*Sy, n*Sxx - Sx^2) over
+    (minute-offset, cents) — the division never happens, so the
+    statistic is bit-portable. One map-side-combined agg per channel."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.trend import trend_slope
+
+        load_views(spark, sf_dir)
+        obs = _obs_cents(spark)
+        b = obs.groupBy("user_id").agg(F.min("win").alias("w0"))
+        pts = obs.join(b, "user_id").select(
+            "user_id", (F.col("win") - F.col("w0")).alias("x"), "v"
+        )
+        return trend_slope(pts, "user_id", "x", "v")
+
+    return run, f"""
+WITH {_OBS_CENTS_CTE},
+b AS (SELECT user_id, MIN(win) AS w0 FROM obs GROUP BY user_id),
+p AS (
+  SELECT o.user_id AS part, o.win - b.w0 AS x, o.v AS y
+  FROM obs o JOIN b USING (user_id)
+), agg AS (
+  SELECT part, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM p GROUP BY part
+)
+SELECT part, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM agg
+"""
+
+
+_REGISTRY["ts_trend_slope"] = _q_ts_trend_slope()

@@ -78,10 +78,13 @@ def lttb_downsample(
     (series edges, empty pixels) keep their smallest-x point — the
     endpoint-retention rule of classic LTTB.
 
-    Plan: one groupBy (part, bucket) for the anchor sums, two joins of
-    the point stream against the (bucket±1)-shifted anchor frame (both
-    sides pre-partitioned on (part, bucket) — AQE plans them without a
-    corpus-wide rescan), one ranked window per (part, bucket).
+    Plan: one groupBy (part, bucket) for the anchor sums (bounded — one
+    row per rendered pixel), neighbor anchors via lag/lead over that
+    SMALL frame (gap-aware: a lag row whose bucket isn't exactly
+    bucket-1 is discarded, so empty pixels don't smear anchors), then
+    ONE join of the point stream against the enriched bucket frame and
+    one ranked window per (part, bucket) — the corpus-sized frame is
+    touched exactly twice (agg + join), never more.
     """
     from pyspark.sql import Window
 
@@ -97,23 +100,20 @@ def lttb_downsample(
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
     )
-    left = sums.select(
+    wn = Window.partitionBy("part").orderBy("bucket")
+    adj = F.lag(F.col("bucket")).over(wn) == F.col("bucket") - 1
+    adj_r = F.lead(F.col("bucket")).over(wn) == F.col("bucket") + 1
+    nbrs = sums.select(
         "part",
-        (F.col("bucket") + 1).alias("bucket"),
-        F.col("n").alias("n_l"),
-        F.col("sx").alias("sx_l"),
-        F.col("sy").alias("sy_l"),
+        "bucket",
+        F.when(adj, F.lag("n").over(wn)).alias("n_l"),
+        F.when(adj, F.lag("sx").over(wn)).alias("sx_l"),
+        F.when(adj, F.lag("sy").over(wn)).alias("sy_l"),
+        F.when(adj_r, F.lead("n").over(wn)).alias("n_r"),
+        F.when(adj_r, F.lead("sx").over(wn)).alias("sx_r"),
+        F.when(adj_r, F.lead("sy").over(wn)).alias("sy_r"),
     )
-    right = sums.select(
-        "part",
-        (F.col("bucket") - 1).alias("bucket"),
-        F.col("n").alias("n_r"),
-        F.col("sx").alias("sx_r"),
-        F.col("sy").alias("sy_r"),
-    )
-    j = p.join(left, ["part", "bucket"], "left").join(
-        right, ["part", "bucket"], "left"
-    )
+    j = p.join(nbrs, ["part", "bucket"], "left")
     e = (
         (F.col("sx_l") * F.col("n_r") - F.col("sx_r") * F.col("n_l"))
         * (F.col("y") * F.col("n_l") - F.col("sy_l"))

@@ -242,3 +242,61 @@ def test_lttb_matches_bruteforce_and_keeps_edges(spark):
     # edge buckets (no neighbor) kept their smallest-x point, area2 = -1
     bmin, bmax = min(want), max(want)
     assert got[bmin][2] == -1 and got[bmax][2] == -1
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint + trend_slope
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_finds_step_change(spark):
+    from processor_post_timeseries_spark.operators.trend import (
+        cusum_changepoint,
+    )
+
+    # level 10 for 50 points, then level 30: CUSUM max at the step edge
+    vals = [10] * 50 + [30] * 50
+    df = spark.createDataFrame(
+        [("c", i, v) for i, v in enumerate(vals)], "part string, pos long, v long"
+    )
+    r = cusum_changepoint(df, "part", "pos", "v").collect()[0]
+    assert r["cp_ord"] == 49 and r["n"] == 100
+    # n*prefix_k - k*total at k=50 (pos 49): 100*500 - 50*2000 = -50000
+    assert r["cusum_scaled"] == -50000
+
+
+def test_cusum_matches_bruteforce_and_ties_earliest(spark):
+    from processor_post_timeseries_spark.operators.trend import (
+        cusum_changepoint,
+    )
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(-20, 20, size=200).tolist()
+    df = spark.createDataFrame(
+        [("c", i, int(v)) for i, v in enumerate(vals)],
+        "part string, pos long, v long",
+    )
+    r = cusum_changepoint(df, "part", "pos", "v").collect()[0]
+    n, total = len(vals), sum(vals)
+    cks = [(n * sum(vals[: k + 1]) - (k + 1) * total, k) for k in range(n)]
+    best = max(cks, key=lambda t: (abs(t[0]), -t[1]))
+    assert (r["cp_ord"], r["cusum_scaled"]) == (best[1], best[0])
+
+
+def test_trend_slope_exact_fraction(spark):
+    from fractions import Fraction
+
+    from processor_post_timeseries_spark.operators.trend import trend_slope
+
+    # y = 3x + 7 plus a deterministic wiggle
+    pts = [(x, 3 * x + 7 + (x % 5 - 2)) for x in range(100)]
+    df = spark.createDataFrame(
+        [("c", x, y) for x, y in pts], "part string, x long, y long"
+    )
+    r = trend_slope(df, "part", "x", "y").collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    assert (r["slope_num"], r["slope_den"]) == (n * sxy - sx * sy, n * sxx - sx * sx)
+    slope = Fraction(r["slope_num"], r["slope_den"])
+    assert abs(float(slope) - 3.0) < 0.01
