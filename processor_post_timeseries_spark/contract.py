@@ -4883,3 +4883,77 @@ FROM agg
 
 
 _REGISTRY["ts_trend_slope"] = _q_ts_trend_slope()
+
+
+def _q_ts_diff2_spike():
+    """Trend+ — sharpest second-difference kink per channel (operators/
+    trend.py::diff2_extrema): d2 = v_k - 2*v_{k-1} + v_{k-2} over the
+    minute-grid cents series, integer lag arithmetic in one ordered
+    window; earliest-position tie-break. The glitch complement to the
+    CUSUM's sustained mean shift."""
+
+    def run(spark, sf_dir):
+        from .operators.trend import diff2_extrema
+
+        load_views(spark, sf_dir)
+        return diff2_extrema(_obs_cents(spark), "user_id", "win", "v")
+
+    return run, f"""
+WITH {_OBS_CENTS_CTE},
+d AS (
+  SELECT user_id AS part, win AS pos,
+         v - 2 * LAG(v, 1) OVER (PARTITION BY user_id ORDER BY win)
+           + LAG(v, 2) OVER (PARTITION BY user_id ORDER BY win) AS d2,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM obs
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+              ORDER BY ABS(d2) DESC, pos ASC) AS rn
+  FROM d WHERE d2 IS NOT NULL
+)
+SELECT part, pos, CAST(d2 AS BIGINT) AS d2, CAST(n AS BIGINT) AS n
+FROM rk WHERE rn = 1
+"""
+
+
+_REGISTRY["ts_diff2_spike"] = _q_ts_diff2_spike()
+
+
+def _q_ts_value_histogram():
+    """Monitor+ — per-group equi-width value histogram (operators/
+    trend.py::value_histogram): 20 bins over cents between each
+    event_type's own min/max; bin assignment and inclusive lower edges
+    via non-negative integer division (floor == truncate everywhere),
+    so counts and edges are bit-portable."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.trend import value_histogram
+
+        load_views(spark, sf_dir)
+        cents = spark.table("events").select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        )
+        return value_histogram(cents, "event_type", "v_c", n_bins=20)
+
+    return run, """
+WITH c AS (
+  SELECT event_type AS part, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+), ext AS (
+  SELECT part, MIN(v) AS mn, MAX(v) AS mx FROM c GROUP BY part
+), j AS (
+  SELECT c.part, ((v - mn) * 20) // (mx - mn + 1) AS bin, mn, mx
+  FROM c JOIN ext ON c.part = ext.part
+)
+SELECT part, bin, COUNT(*) AS n,
+       CAST(MIN(mn) + (bin * (MIN(mx) - MIN(mn) + 1)) // 20
+            + (CASE WHEN (bin * (MIN(mx) - MIN(mn) + 1)) % 20 > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS lo
+FROM j GROUP BY part, bin
+"""
+
+
+_REGISTRY["ts_value_histogram"] = _q_ts_value_histogram()

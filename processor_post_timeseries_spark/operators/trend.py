@@ -111,3 +111,83 @@ def trend_slope(
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
     )
+
+
+def diff2_extrema(
+    series: DataFrame,
+    part_col: str,
+    ord_col: str,
+    val_col: str,
+) -> DataFrame:
+    """(part, pos, d2, n) — the largest second difference per channel.
+
+    ``d2_k = v_k - 2*v_{k-1} + v_{k-2}`` is the discrete curvature; its
+    extremum is the sharpest kink in the series (sensor glitch, clock
+    step) — the complement to ``cusum_changepoint``'s sustained shift.
+    Pure integer lag arithmetic in ONE ordered window per channel;
+    argmax breaks ties to the earliest position; channels with fewer
+    than 3 points produce no row.
+    """
+    w = Window.partitionBy(part_col).orderBy(ord_col)
+    d2 = (
+        F.col(val_col)
+        - 2 * F.lag(val_col, 1).over(w)
+        + F.lag(val_col, 2).over(w)
+    )
+    rows = series.select(
+        F.col(part_col).alias("part"),
+        F.col(ord_col).alias("pos"),
+        d2.alias("d2"),
+        F.count(F.lit(1)).over(Window.partitionBy(part_col)).alias("n"),
+    ).filter(F.col("d2").isNotNull())
+    rk = Window.partitionBy("part").orderBy(F.desc(F.abs(F.col("d2"))), F.asc("pos"))
+    return (
+        rows.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("part", "pos", "d2", F.col("n").cast("bigint").alias("n"))
+    )
+
+
+def value_histogram(
+    series: DataFrame,
+    part_col: str,
+    val_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """(part, bin, n, lo) — equi-width value histogram per channel.
+
+    The monitoring primitive behind drift dashboards and range checks.
+    Bin edges come from each channel's own min/max:
+    ``bin = (v - mn) * n_bins div (mx - mn + 1)`` — integer division of
+    non-negative integers, where floor == truncate in every engine, so
+    bin assignment is bit-portable (``val_col`` must be integral; the
+    +1 keeps the max value inside the last bin). ``lo`` is the bin's
+    inclusive lower edge, the same integer-div formula inverted. One
+    bounded min/max agg broadcast back, one map-side-combined count —
+    two scans, no window, no sort.
+    """
+    ext = series.groupBy(F.col(part_col).alias("part")).agg(
+        F.min(F.col(val_col)).alias("mn"), F.max(F.col(val_col)).alias("mx")
+    )
+    j = series.select(
+        F.col(part_col).alias("part"), F.col(val_col).alias("v")
+    ).join(F.broadcast(ext), "part")
+    bin_ = F.expr(f"((v - mn) * {n_bins}) div (mx - mn + 1)")
+    return (
+        j.groupBy("part", bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("mn").alias("part_min"),
+            F.min("mx").alias("part_max"),
+        )
+        .select(
+            "part",
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                f"part_min + (bin * (part_max - part_min + 1)) div {n_bins}"
+                f" + (CASE WHEN (bin * (part_max - part_min + 1)) % {n_bins}"
+                f" > 0 THEN 1 ELSE 0 END)"
+            ).alias("lo"),
+        )
+    )

@@ -300,3 +300,48 @@ def test_trend_slope_exact_fraction(spark):
     assert (r["slope_num"], r["slope_den"]) == (n * sxy - sx * sy, n * sxx - sx * sx)
     slope = Fraction(r["slope_num"], r["slope_den"])
     assert abs(float(slope) - 3.0) < 0.01
+
+
+def test_diff2_extrema_finds_glitch(spark):
+    from processor_post_timeseries_spark.operators.trend import diff2_extrema
+
+    vals = [100] * 40
+    vals[17] = 400  # single-sample glitch: d2 at the glitch = +300*... 
+    df = spark.createDataFrame(
+        [("c", i, v) for i, v in enumerate(vals)], "part string, pos long, v long"
+    )
+    r = diff2_extrema(df, "part", "pos", "v").collect()[0]
+    # d2_17 = 400 - 200 + 100 = 300; d2_18 = 100 - 800 + 100 = -600
+    assert (r["pos"], r["d2"], r["n"]) == (18, -600, 40)
+
+
+def test_diff2_extrema_short_channel_empty(spark):
+    from processor_post_timeseries_spark.operators.trend import diff2_extrema
+
+    df = spark.createDataFrame(
+        [("c", 0, 1), ("c", 1, 2)], "part string, pos long, v long"
+    )
+    assert diff2_extrema(df, "part", "pos", "v").count() == 0
+
+
+def test_value_histogram_bins_and_edges(spark):
+    from processor_post_timeseries_spark.operators.trend import value_histogram
+
+    # values 0..99 in 20 bins of width 5: each bin has 5, lo = 5*bin
+    df = spark.createDataFrame(
+        [("c", v) for v in range(100)], "part string, v long"
+    )
+    rows = {r["bin"]: (r["n"], r["lo"]) for r in
+            value_histogram(df, "part", "v", n_bins=20).collect()}
+    assert len(rows) == 20
+    for b in range(20):
+        assert rows[b] == (5, 5 * b), b
+
+
+def test_value_histogram_constant_channel_single_bin(spark):
+    from processor_post_timeseries_spark.operators.trend import value_histogram
+
+    df = spark.createDataFrame([("c", 7)] * 9, "part string, v long")
+    rows = value_histogram(df, "part", "v", n_bins=20).collect()
+    assert len(rows) == 1
+    assert (rows[0]["bin"], rows[0]["n"], rows[0]["lo"]) == (0, 9, 7)
