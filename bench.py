@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "bpe_train_merges",
     "lm_avg_prob",
+    # round-5 batch 2 (integer-exact analytics)
+    "w2_gapfill_interp",
+    "lttb_downsample",
 ]
 
 
