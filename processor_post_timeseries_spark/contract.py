@@ -4957,3 +4957,54 @@ FROM j GROUP BY part, bin
 
 
 _REGISTRY["ts_value_histogram"] = _q_ts_value_histogram()
+
+
+def _q_w5_time_weighted():
+    """W5+ — time-weighted hourly mean over the irregular event series
+    (operators/irregular.py::time_weighted_mean): the hypertable
+    time_weight('locf') aggregate as an exact integer fraction
+    (twa_num, covered_us) — each observation weighted by how long it
+    was current, holding intervals clipped per window, a channel's
+    final point holding to the end of its own window. Consumers divide
+    at display time; nothing floats."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from .operators.irregular import time_weighted_mean
+
+        load_views(spark, sf_dir)
+        c = spark.table("events").select(
+            F.col("user_id").alias("part"),
+            F.expr("unix_micros(ts)").alias("t"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        return time_weighted_mean(
+            c, 3_600_000_000, part_col="part", ts_col="t", val_col="v"
+        )
+
+    return run, """
+WITH c AS (
+  SELECT user_id AS part, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+), seg AS (
+  SELECT part, t AS t0, v,
+         COALESCE(LEAD(t) OVER (PARTITION BY part ORDER BY t, v),
+                  (t - (t % 3600000000)) + 3600000000) AS t1
+  FROM c
+), e AS (
+  SELECT part, t0, t1, v,
+         unnest(range(t0 // 3600000000, (t1 - 1) // 3600000000 + 1)) AS win
+  FROM seg WHERE t1 > t0
+)
+SELECT part, win,
+       CAST(SUM(v * (LEAST(t1, (win + 1) * 3600000000)
+                     - GREATEST(t0, win * 3600000000))) AS BIGINT) AS twa_num,
+       CAST(SUM(LEAST(t1, (win + 1) * 3600000000)
+                - GREATEST(t0, win * 3600000000)) AS BIGINT) AS covered_us
+FROM e GROUP BY part, win
+"""
+
+
+_REGISTRY["w5_time_weighted"] = _q_w5_time_weighted()

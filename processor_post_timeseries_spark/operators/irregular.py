@@ -437,3 +437,71 @@ def tier_from_ts_arrays(
             )
 
     return seq.mapInPandas(kern, schema=schema)
+
+
+def time_weighted_mean(
+    obs: DataFrame,
+    window_us: int,
+    part_col: str = "part",
+    ts_col: str = "t",
+    val_col: str = "v",
+) -> DataFrame:
+    """(part, win, twa_num, covered_us) — time-weighted average over an
+    irregular row-per-sample series, as an exact integer fraction.
+
+    The irregular-rate complement to the tumbling mean (W5): a plain
+    AVG over-weights burst periods; the time-weighted form (the
+    hypertable ``time_weight('locf')`` aggregate) weights each
+    observation by how long it was current. Each observation ``v_i``
+    holds from ``t_i`` until the next observation — or, for a channel's
+    final point, until the end of its own window (nothing is invented
+    past the observed extent, the engine's reference-derived rule,
+    reader.py:222-225). A holding interval spanning multiple windows
+    contributes its clipped overlap to each.
+
+    Consumers divide ``twa_num / covered_us`` at display time; both are
+    exact int64 (``val_col`` integral — cents; ``twa_num <= v_max *
+    window_us`` per window, ~1e5 * 3.6e9 = 3.6e14 for 1h windows).
+    ``covered_us < window_us`` exposes leading/gap-free coverage
+    honestly instead of silently renormalizing.
+
+    Plan: one lead() window per channel (the only per-sample ordered
+    pass), an interval explode bounded by windows-per-holding-interval,
+    one map-side-combined groupBy (part, win). Linear in samples plus
+    covered windows — no corpus sort, no per-window subqueries.
+    """
+    from pyspark.sql import Window
+
+    # value tiebreak: with duplicate timestamps, which observation owns
+    # the zero-length (dropped) segment must not depend on engine sort
+    # stability
+    w = Window.partitionBy(part_col).orderBy(ts_col, val_col)
+    t = F.col(ts_col).cast("bigint")
+    W = F.lit(window_us).cast("bigint")
+    seg = obs.select(
+        F.col(part_col).alias("part"),
+        t.alias("t0"),
+        F.col(val_col).cast("bigint").alias("v"),
+        F.coalesce(
+            F.lead(ts_col).over(w).cast("bigint"),
+            (t - (t % W)) + W,
+        ).alias("t1"),
+    ).filter(F.col("t1") > F.col("t0"))
+    # timestamps are epoch-µs (non-negative), so truncating integer
+    # division == floor in every engine — no double arithmetic anywhere
+    w0 = F.expr(f"t0 div {window_us}L")
+    w1 = F.expr(f"(t1 - 1) div {window_us}L")
+    e = seg.select(
+        "part", "t0", "t1", "v", F.explode(F.sequence(w0, w1)).alias("win")
+    )
+    lo = F.greatest(F.col("t0"), F.col("win") * W)
+    hi = F.least(F.col("t1"), (F.col("win") + 1) * W)
+    ov = (hi - lo).alias("ov")
+    return (
+        e.select("part", "win", "v", ov)
+        .groupBy("part", "win")
+        .agg(
+            F.sum(F.col("v") * F.col("ov")).alias("twa_num"),
+            F.sum("ov").alias("covered_us"),
+        )
+    )

@@ -345,3 +345,49 @@ def test_value_histogram_constant_channel_single_bin(spark):
     rows = value_histogram(df, "part", "v", n_bins=20).collect()
     assert len(rows) == 1
     assert (rows[0]["bin"], rows[0]["n"], rows[0]["lo"]) == (0, 9, 7)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_mean
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_mean_hand_calc(spark):
+    from processor_post_timeseries_spark.operators.irregular import (
+        time_weighted_mean,
+    )
+
+    W = 100  # window = 100 us for the hand calc
+    # channel: v=10 at t=20, v=30 at t=250, v=50 at t=260
+    rows = [("c", 20, 10), ("c", 250, 30), ("c", 260, 50)]
+    df = spark.createDataFrame(rows, "part string, t long, v long")
+    got = {
+        r["win"]: (r["twa_num"], r["covered_us"])
+        for r in time_weighted_mean(df, W, "part", "t", "v").collect()
+    }
+    # v=10 holds [20,250): win0 80us, win1 100us, win2 50us
+    # v=30 holds [250,260): win2 10us
+    # v=50 (final) holds [260,300): win2 40us
+    assert got == {
+        0: (10 * 80, 80),
+        1: (10 * 100, 100),
+        2: (10 * 50 + 30 * 10 + 50 * 40, 100),
+    }
+
+
+def test_time_weighted_mean_partition_invariant_and_single_point(spark):
+    from processor_post_timeseries_spark.operators.irregular import (
+        time_weighted_mean,
+    )
+
+    rng = np.random.RandomState(13)
+    ts = sorted(rng.choice(100000, size=300, replace=False).tolist())
+    rows = [("a", int(t), int(rng.randint(1, 50))) for t in ts]
+    rows.append(("solo", 1234, 7))  # single point: holds to window end
+    df = spark.createDataFrame(rows, "part string, t long, v long")
+    a = sorted(tuple(r) for r in time_weighted_mean(df.repartition(1), 1000, "part", "t", "v").collect())
+    b = sorted(tuple(r) for r in time_weighted_mean(df.repartition(13), 1000, "part", "t", "v").collect())
+    assert a == b
+    solo = [r for r in a if r[0] == "solo"]
+    # win 1, covers [1234, 2000): 766 us at v=7
+    assert solo == [("solo", 1, 7 * 766, 766)]
