@@ -35,6 +35,22 @@ TABLES = (
 )
 
 
+def _table_bytes(path: str) -> int:
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -43,13 +59,32 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     # NTZ -> timestamp cast below is UTC wall-clock (matching DuckDB's
     # naive epoch_us) regardless of that session's defaults
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    try:  # "134217728b" -> bytes; unparsed forms ("128MB") -> default
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes").lower().rstrip("b")
+        )
+    except Exception:
+        max_split = 128 << 20
     for t in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        path = f"{sf_dir}/{t}.parquet"
+        df = spark.read.parquet(path)
         # parquet timestamps land as TIMESTAMP_NTZ in Spark 4; cast to
         # session-UTC timestamps so unix_micros() == DuckDB's epoch_us()
         for f in df.schema.fields:
             if isinstance(f.dataType, T.TimestampNTZType):
                 df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        # a single small parquet file scans as ONE task, serializing all
+        # narrow compute (explodes, hash chains, Arrow kernels) on one
+        # core while the other cores idle. Spread any non-dim table whose
+        # scan would use < defaultParallelism splits; the round-robin
+        # exchange moves only a few MB and is partition-invariant (every
+        # registry query is certified order-insensitive). Tables big
+        # enough to split on their own are left to the scan.
+        sz = _table_bytes(path)
+        est_splits = max(1, -(-sz // max_split))
+        if (1 << 20) < sz and est_splits < par:
+            df = df.repartition(par)
         df.createOrReplaceTempView(t)
 
 

@@ -55,10 +55,15 @@ def zscore_flags(
         F.col(group_col).alias("grp"),
         F.round(F.col(value_col) * 100).cast("bigint").alias("v_c"),
     )
+    # aggregate s and q in DECIMAL(38,0): a plain BIGINT sum wraps
+    # silently with ANSI off once q passes 2^63 (v_c ~ 1e6 cents over
+    # ~1e7 rows), while the DuckDB oracle promotes to HUGEINT — decimal
+    # accumulation is exact, and loud (null) on true overflow
+    vdec = F.col("v_c").cast("decimal(38,0)")
     stats = cents.groupBy("grp").agg(
         F.count("*").alias("n"),
-        F.sum("v_c").alias("s"),
-        F.sum(F.col("v_c") * F.col("v_c")).alias("q"),
+        F.sum(vdec).alias("s"),
+        F.sum(vdec * vdec).alias("q"),
     )
     j = cents.join(F.broadcast(stats), "grp")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731

@@ -125,6 +125,7 @@ def bpe_train(
     n_merges: int,
     tokens_col: str = "tokens",
     start_id: int = 256,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Run ``n_merges`` BPE rounds; returns the merge table as a
     DataFrame: (round, left, right, new_id, n_pairs) — ``n_pairs`` is
@@ -132,12 +133,23 @@ def bpe_train(
     pair (corpus fully merged) stop early.
 
     Driver loop: one 1-row collect per round (the argmax), pre-committed
-    bounded; each round chains one narrow merge map onto the plan. For
-    large ``n_merges`` checkpoint the sequence frame every ~8 rounds
-    (plan depth), exactly like the components loop in dedup.py."""
+    bounded. Round r applies the merges found since the last checkpoint
+    in ONE fused Arrow pass (``bpe_encode``'s kernel — greedy rank-order
+    replay, bit-identical to chaining ``apply_merge`` per round), so a
+    round never pays more than one Python boundary crossing; the former
+    shape chained one ``mapInPandas`` node per prior round, re-crossing
+    the boundary r-1 times per round (guide §4). Every
+    ``checkpoint_every`` rounds the working frame is ``localCheckpoint``ed
+    (eager), which bounds BOTH plan depth and per-round re-scan cost —
+    the r5 verdict's ``bpe_train`` scale fix: total work is now
+    O(rounds · corpus / checkpoint_every) re-merges instead of
+    O(rounds²), and a 30-50k-merge vocabulary no longer grows an
+    unbounded plan (same pattern as the components loop in dedup.py)."""
     rows = []
-    cur = seq
+    base = seq
+    pending: list[tuple[int, int, int]] = []  # merges since last checkpoint
     for rnd in range(n_merges):
+        cur = bpe_encode(base, pending, tokens_col) if pending else base
         top = (
             pair_counts(cur, tokens_col)
             .orderBy(F.desc("n_pairs"), F.asc("left"), F.asc("right"))
@@ -149,7 +161,10 @@ def bpe_train(
         left, right, cnt = int(top[0]["left"]), int(top[0]["right"]), int(top[0]["n_pairs"])
         new_id = start_id + rnd
         rows.append((rnd, left, right, new_id, cnt))
-        cur = apply_merge(cur, left, right, new_id, tokens_col)
+        pending.append((left, right, new_id))
+        if len(pending) >= checkpoint_every:
+            base = bpe_encode(base, pending, tokens_col).localCheckpoint(eager=True)
+            pending = []
     return seq.sparkSession.createDataFrame(
         rows, "round int, left int, right int, new_id int, n_pairs long"
     )

@@ -70,23 +70,24 @@ def contamination_report(
         .select("shingle")
         .distinct()
     )
-    sizes = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        cg.join(F.broadcast(bg), "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE pass over the corpus grams: broadcast-LEFT-join the (distinct)
+    # benchmark gram set as a hit marker, then a single map-side-combined
+    # groupBy yields n_grams AND n_hits together. The former
+    # sizes-join-hits shape executed the corpus explode twice (two
+    # aggregation subtrees over the same Generate) — guide §2.3
+    # "aggregate before you shuffle", here: aggregate once, not twice.
+    # Value-identical: bg is distinct, so the left join preserves cg's
+    # multiplicity, count(*) == n_grams and count(_hit) == n_hits.
+    marked = cg.join(
+        F.broadcast(bg.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
-    return (
-        sizes.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_grams"), decimals
-            ).alias("contamination_ratio"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
-        )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hits"),
+        F.round(F.count("_hit") / F.count(F.lit(1)), decimals).alias(
+            "contamination_ratio"
+        ),
+        (F.count("_hit") >= min_hits).alias("contaminated"),
     )
 
 

@@ -100,6 +100,7 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     hash_fn: str = "xxh64",
+    text_col: str = "text",
 ) -> DataFrame:
     """MinHash signature per doc: (doc_id, h00..hNN) — min per seeded hash
     family.
@@ -113,7 +114,16 @@ def minhash_signatures(
     families is pinned by the ``dedup_minhash_lsh64_parity`` contract
     query and pytest.
     """
-    sh = shingles(docs, n, id_col=id_col)
+    # Shape note (r6): an all-array-expression variant (array_min over
+    # transform per seed, zero shuffle) was measured 2x SLOWER — Spark
+    # evaluates higher-order functions interpreted and re-evaluates the
+    # collapsed gram-array subexpression once per seed, so the n-gram
+    # build ran n_hashes times per doc. The explode + partial-agg
+    # groupBy computes grams ONCE, hashes each (doc, shingle) row
+    # n_hashes times (the algorithmic floor), and its exchange carries
+    # only |docs| pre-aggregated rows (explode keeps a doc's shingles
+    # inside one partition, so map-side partial min collapses them).
+    sh = shingles(docs, n, text_col=text_col, id_col=id_col)
     if hash_fn == "md5":
         aggs = [
             F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("shingle")))).alias(f"h{k:02d}")
@@ -221,6 +231,12 @@ def lsh_candidate_pairs(
     than sit in one collect_list row."""
     allbands = _band_buckets(docs, n_hashes, n_bands, n, id_col, hash_fn)
     if max_bucket_size is None:
+        # the self-join's two branches would otherwise each re-execute
+        # the full shingle+signature pipeline (the broadcast build side
+        # is a separate subtree — exchange reuse can't kick in);
+        # materializing the narrow (doc_id, band_no, band_hash) frame
+        # once halves the hashing work and truncates the plan
+        allbands = allbands.localCheckpoint(eager=True)
         return (
             allbands.alias("a")
             .join(allbands.alias("b"), ["band_no", "band_hash"])

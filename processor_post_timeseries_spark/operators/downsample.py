@@ -88,7 +88,14 @@ def lttb_downsample(
     """
     from pyspark.sql import Window
 
-    b = (F.col(x_col) / F.lit(bucket_width)).cast("bigint")
+    # exact FLOOR division for the bucket id (matches the oracle's `//`
+    # for any sign of x and any magnitude): the former double-divide +
+    # truncate bucketed negative x differently per engine and lost bits
+    # near 2^53. (x - pmod(x, w)) is divisible by w, so the quotient is
+    # an exact integer in decimal.
+    xb = F.col(x_col).cast("bigint")
+    wl = F.lit(int(bucket_width)).cast("bigint")
+    b = ((xb - F.pmod(xb, wl)).cast("decimal(38,0)") / wl).cast("bigint")
     p = pts.select(
         F.col(part_col).alias("part"),
         F.col(x_col).cast("bigint").alias("x"),

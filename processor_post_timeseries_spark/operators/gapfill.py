@@ -180,10 +180,16 @@ def interp_fill(
     num = (next_v - prev_v) * (F.col(ord_col) - prev_p)
     den = next_p - prev_p
     pm = ((num % den) + den) % den
+    # the quotient division runs in DECIMAL(38,0)/bigint, not double:
+    # (num - pm) is exactly divisible by den, and decimal division keeps
+    # every bit for |num| >= 2^53 (a wide gap x a large cent delta),
+    # where the former double path silently lost low bits; true decimal
+    # overflow is loud (null), never wrong
+    q_exact = (num - pm).cast("decimal(38,0)") / den
     interp = (
         F.when(v.isNotNull(), v)
         .when(prev_v.isNull(), next_v)
         .when(next_v.isNull(), prev_v)
-        .otherwise(prev_v + ((num - pm) / den).cast("bigint"))
+        .otherwise(prev_v + q_exact.cast("bigint"))
     )
     return obs.withColumn(f"{val_col}_interp", interp.cast("bigint"))

@@ -56,6 +56,14 @@ def exact_group_quantiles(
     aggs = [F.max("n").cast("bigint").alias("n")]
     for q in qs:
         fr = Fraction(q).limit_denominator(10_000)
+        if float(fr) != q:
+            # limit_denominator would silently substitute a NEARBY
+            # quantile (q=0.00005 -> 0); refuse rather than compute a
+            # different statistic than asked
+            raise ValueError(
+                f"quantile {q!r} is not exactly representable with "
+                f"denominator <= 10000; pass an exact (num/den) q"
+            )
         label = f"p{q * 100:g}".replace(".", "_")
         aggs.append(
             F.min(

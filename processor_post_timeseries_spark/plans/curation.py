@@ -56,7 +56,7 @@ def curate(
     hash_fn: str = "xxh64",
     lsh_max_bucket_size: int | None = 1000,
     drop_stats: dict | None = None,
-    decontam_mode: str = "exact",
+    decontam_mode: str = "bloom_exact",
 ) -> DataFrame:
     """Audit frame (doc_id, source, n_tok, stage): pipeline-order stage
     attribution per input doc. ``n_tok`` is the char-token count
@@ -73,14 +73,17 @@ def curate(
     (``operators/dedup.py:lsh_bucket_stats``). No-op unless
     ``near_dup=True``.
 
-    ``decontam_mode``: ``"exact"`` runs the broadcast-gram-set report on
-    every survivor; ``"bloom_exact"`` is the two-tier 100 TB path — the
-    128 KiB bloom bitmap prefilters the corpus in one narrow pass
+    ``decontam_mode``: ``"bloom_exact"`` (DEFAULT — the two-tier 100 TB
+    path, r6: promoted per the round-5 verdict) prefilters the corpus
+    with the 128 KiB bloom bitmap in one narrow pass
     (``decontam.bloom_decontaminate``), and the exact report runs ONLY
     on bloom-flagged docs. Bloom has no false negatives, so the
-    contaminated set (hence the whole audit) is IDENTICAL to exact mode;
-    only the exact stage's gram-explode cost shrinks to the flagged
-    sliver."""
+    contaminated set (hence the whole audit) is IDENTICAL to exact
+    mode — pinned by pytest audit-equality — while the exact stage's
+    gram-explode cost shrinks to the flagged sliver. ``"exact"`` runs
+    the broadcast-gram-set report on every survivor (kept for
+    non-integral id schemas, which the bloom kernel's LongType doc_id
+    cannot carry — ``curate`` falls back automatically)."""
     from ..functions.text import quality_score
     from ..operators.decontam import contamination_report
 
@@ -144,16 +147,22 @@ def curate(
     # 3. decontamination: contaminated ids among remaining survivors
     corpus_side = surv.select("doc_id", F.col("_text").alias(text_col))
     bench_side = benchmark.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    if decontam_mode == "bloom_exact":
+    id_integral = dict(corpus_side.dtypes)["doc_id"] in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    )
+    if decontam_mode == "bloom_exact" and id_integral:
         from ..operators.decontam import bloom_decontaminate
 
         flagged = (
             bloom_decontaminate(corpus_side, bench_side, n=contam_n)
             .filter(F.col("flagged"))
-            .select("doc_id")
+            .select(F.col("doc_id").cast(dict(corpus_side.dtypes)["doc_id"]))
         )
         corpus_side = corpus_side.join(flagged, "doc_id", "left_semi")
-    elif decontam_mode != "exact":
+    elif decontam_mode not in ("exact", "bloom_exact"):
         raise ValueError(f"unknown decontam_mode: {decontam_mode!r}")
     rep = contamination_report(corpus_side, bench_side, n=contam_n)
     contam = rep.filter(F.col("contaminated")).select(

@@ -63,6 +63,13 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # floor on scan parallelism (guide §6): without it a ~250 MB
+        # multi-file input packs into ceil(size/128MB) ≈ 2-3 splits and
+        # every downstream narrow kernel runs 3-wide on a 32-core box.
+        # Scale-adaptive, not a local constant: the floor follows the
+        # session's parallelism, and big inputs still split by the
+        # 128 MB default (the floor only ever ADDS splits).
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -88,6 +95,25 @@ def get_spark(
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
+    # file:// FileSystem without the chmod-subprocess fork: PySpark has
+    # no libhadoop.so, so stock RawLocalFileSystem forks `chmod` for
+    # EVERY created file/dir (~20-40 ms each — a 1536-dir partitioned
+    # write spent ~5 s in fork+exec; thread dumps showed
+    # RawLocalFileSystem.setPermission -> Shell.execCommand). The shim
+    # (java/pts/fs/*.java, compiled into jars/pts-niolocalfs.jar) does
+    # the same chmod(2) via java.nio. Semantics unchanged (checksummed
+    # LocalFileSystem); clusters with HDFS/S3 or libhadoop never hit
+    # the forking path and simply don't need the override.
+    _fs_jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "jars", "pts-niolocalfs.jar"
+    )
+    if os.path.exists(_fs_jar):
+        b = (
+            b.config("spark.jars", _fs_jar)
+            .config("spark.driver.extraClassPath", _fs_jar)
+            .config("spark.executor.extraClassPath", _fs_jar)
+            .config("spark.hadoop.fs.file.impl", "pts.fs.NioLocalFileSystem")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
