@@ -51,10 +51,38 @@ def _table_bytes(path: str) -> int:
         return 0
 
 
+# tables whose queries run heavy PER-ROW compute before any shuffle
+# (text explodes / hash chains / Arrow-numpy kernels) — these gain 2-10x
+# from spreading a single-split scan across cores. Tables whose queries
+# immediately aggregate, window, or re-bucket by their own key
+# (lineitem, orders, events, embeddings, …) reduce map-side or
+# re-shuffle anyway; an extra round-robin exchange of full rows only
+# slows them (measured at sf0.1: q1 +0.6 s, events window suite
+# 8.1 s -> 11.4 s, ann_ivf_topk 1.46 s -> 2.39 s with a blanket
+# repartition), so they are left to the scan. Override with
+# PTS_SPREAD_TABLES="a,b" for A/Bs.
+_SPREAD_TABLES = frozenset(
+    __import__("os").environ.get("PTS_SPREAD_TABLES", "documents").split(",")
+)
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Idempotent per (session, sf_dir): a bench pass calls every query
+    # fn back-to-back and each one calls load_views — re-reading 10
+    # parquet footers and re-registering 10 views costs ~0.2-0.5 s of
+    # pure driver overhead PER QUERY. Nothing else registers these view
+    # names (grep: this is the only createOrReplaceTempView site), so
+    # skipping the re-registration cannot change any result; pointing
+    # the same session at a DIFFERENT sf_dir still reloads.
+    key = f"{sf_dir}"
+    try:
+        if spark.conf.get("spark.pts.loadedViews") == key:
+            return
+    except Exception:
+        pass
     # the driver supplies its own SparkSession — pin the tz so the
     # NTZ -> timestamp cast below is UTC wall-clock (matching DuckDB's
     # naive epoch_us) regardless of that session's defaults
@@ -83,9 +111,13 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         # enough to split on their own are left to the scan.
         sz = _table_bytes(path)
         est_splits = max(1, -(-sz // max_split))
-        if (1 << 20) < sz and est_splits < par:
+        # >128 KiB: sf0.1's documents (0.6 MB compressed) carries ~2.4M
+        # chars of text through hash/explode kernels — well worth
+        # spreading; truly tiny slices (sf0.01 and below) stay put
+        if t in _SPREAD_TABLES and (128 << 10) < sz and est_splits < par:
             df = df.repartition(par)
         df.createOrReplaceTempView(t)
+    spark.conf.set("spark.pts.loadedViews", key)
 
 
 _SPARK_DIALECT = {"{EPOCH_US}": "unix_micros", "{IDIV}": " div ", "{SEQ_GRID}": "explode(sequence(0, 43200))"}
@@ -2540,14 +2572,32 @@ def _q_tok_subsequence_search():
         from pyspark.sql import functions as F
 
         seq = _char_tokens_df(spark, sf_dir)
-        pat = F.array(*[F.lit(ord(c)) for c in PAT])
         k = len(PAT)
+        # r6: the index rides INSIDE the zipped array (slice+zip idiom,
+        # see functions/text.py word_ngram_array). The former
+        # filter(sequence, i -> slice(tokens, i, k) == pat) re-evaluated
+        # the tokens expression — itself transform(split(text)) after
+        # projection collapse — once PER POSITION: O(n^2) per doc,
+        # measured 60 s for this one query at sf0.1. Here tokens is
+        # evaluated k+1 times per ROW and the filter lambda only
+        # compares zipped struct fields. Output-identical: zipped
+        # element i is (tokens[i..i+k-1], i), so the kept "i"s are
+        # exactly the former 1-based match positions.
+        t = F.col("tokens")
+        m = F.size(t) - (k - 1)
+        z = F.arrays_zip(
+            *[F.slice(t, j + 1, m).alias(f"c{j}") for j in range(k)],
+            F.sequence(F.lit(1), m).alias("i"),
+        )
+        import functools
+
+        match = lambda s: functools.reduce(  # noqa: E731
+            lambda a, b: a & b,
+            [s[f"c{j}"] == F.lit(ord(PAT[j])) for j in range(k)],
+        )
         positions = F.when(
-            F.size("tokens") >= k,
-            F.filter(
-                F.sequence(F.lit(1), F.size("tokens") - (k - 1)),
-                lambda i: F.slice(F.col("tokens"), i, k) == pat,
-            ),
+            m > 0,
+            F.transform(F.filter(z, match), lambda s: s["i"]),
         ).otherwise(F.array().cast("array<int>"))
         return (
             seq.withColumn("_pos", positions)

@@ -77,19 +77,32 @@ def from_blocks(blocks_df: DataFrame) -> DataFrame:
 
     One shuffle (regroup blocks of a doc), deterministic in-group order by
     block_no before concatenation (SURVEY §7 determinism rule).
+
+    r6 shape: collect_list + ONE batched decode kernel instead of
+    per-group ``applyInPandas`` — the grouped form built a pandas frame
+    per doc (~1 ms of pure overhead each; 5000 docs cost more than the
+    decode itself). ``sort_array`` over (block_no, payload) structs
+    gives the same block_no order (block_no is unique per doc), the
+    group state is bounded by one doc's payload either way, and the
+    kernel loops docs of a whole Arrow batch.
     """
+    g = blocks_df.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("block_no", "payload"))).alias("_blocks"),
+        F.first("source").alias("source"),
+    )
 
-    def assemble(key, pdf):
-        pdf = pdf.sort_values("block_no")
-        parts = [dod_decode_array(bytes(p)) for p in pdf["payload"]]
-        toks = np.concatenate(parts) if parts else np.empty(0, np.int32)
-        return pd.DataFrame(
-            {
-                "doc_id": [key[0]],
-                "tokens": [toks.astype(np.int32)],
-                "n_tok": [len(toks)],
-                "source": [pdf["source"].iloc[0]],
-            }
-        )
+    def assemble(batches):
+        for pdf in batches:
+            docs, toks_out, ntoks, srcs = [], [], [], []
+            for doc, src, blocks in zip(pdf["doc_id"], pdf["source"], pdf["_blocks"]):
+                parts = [dod_decode_array(bytes(b["payload"])) for b in blocks]
+                toks = np.concatenate(parts) if parts else np.empty(0, np.int32)
+                docs.append(doc)
+                toks_out.append(toks.astype(np.int32))
+                ntoks.append(len(toks))
+                srcs.append(src)
+            yield pd.DataFrame(
+                {"doc_id": docs, "tokens": toks_out, "n_tok": ntoks, "source": srcs}
+            )
 
-    return blocks_df.groupBy("doc_id").applyInPandas(assemble, schema=SEQ_SCHEMA)
+    return g.mapInPandas(assemble, schema=SEQ_SCHEMA)

@@ -114,28 +114,73 @@ def minhash_signatures(
     families is pinned by the ``dedup_minhash_lsh64_parity`` contract
     query and pytest.
     """
-    # Shape note (r6): an all-array-expression variant (array_min over
-    # transform per seed, zero shuffle) was measured 2x SLOWER — Spark
-    # evaluates higher-order functions interpreted and re-evaluates the
-    # collapsed gram-array subexpression once per seed, so the n-gram
-    # build ran n_hashes times per doc. The explode + partial-agg
-    # groupBy computes grams ONCE, hashes each (doc, shingle) row
-    # n_hashes times (the algorithmic floor), and its exchange carries
-    # only |docs| pre-aggregated rows (explode keeps a doc's shingles
-    # inside one partition, so map-side partial min collapses them).
-    sh = shingles(docs, n, text_col=text_col, id_col=id_col)
+    # Shape notes (r6):
+    # * an all-array-expression variant (array_min over transform per
+    #   seed, zero shuffle) was measured 2x SLOWER — Spark evaluates
+    #   higher-order functions interpreted and re-evaluates the
+    #   collapsed gram-array subexpression once per seed, so the n-gram
+    #   build ran n_hashes times per doc;
+    # * the md5 family now hashes in an Arrow-batched hashlib kernel:
+    #   Spark's Md5 expression instantiates a MessageDigest and
+    #   allocates UTF8/hex strings per call (~5.6 us measured — 1.5 s
+    #   for 6.2M hashes at sf0.1), while hashlib+bytes is ~10x cheaper
+    #   and the kernel is a narrow map (no explode, no shuffle at all).
+    #   Gram convention is exactly shingles()/word_ngram_array: split
+    #   on single spaces (empties kept by both engines' split), n
+    #   consecutive words joined by a space; distinctness is irrelevant
+    #   under min. Hex comparison: fixed-length lowercase hex makes
+    #   Python's min == Spark's UTF8 string min.
     if hash_fn == "md5":
-        aggs = [
-            F.min(F.md5(F.concat_ws(":", F.lit(str(k)), F.col("shingle")))).alias(f"h{k:02d}")
-            for k in range(n_hashes)
-        ]
-    elif hash_fn == "xxh64":
-        aggs = [
-            F.min(F.xxhash64(F.lit(str(k)), F.col("shingle"))).alias(f"h{k:02d}")
-            for k in range(n_hashes)
-        ]
-    else:
+        import hashlib
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        prefixes = [f"{k}:".encode() for k in range(n_hashes)]
+        id_field = docs.schema[id_col]
+        out_schema = T.StructType(
+            [T.StructField("doc_id", id_field.dataType, id_field.nullable)]
+            + [T.StructField(f"h{k:02d}", T.StringType(), True) for k in range(n_hashes)]
+        )
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            md5 = hashlib.md5
+            for pdf in batches:
+                ids, sigs = [], []
+                for d, text in zip(pdf[id_col], pdf[text_col]):
+                    words = str(text).split(" ")
+                    m = len(words) - (n - 1)
+                    if m <= 0:
+                        continue
+                    grams = {
+                        " ".join(words[i : i + n]).encode() for i in range(m)
+                    }
+                    ids.append(d)
+                    sigs.append(
+                        [
+                            min(md5(p + g).hexdigest() for g in grams)
+                            for p in prefixes
+                        ]
+                    )
+                if ids:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": ids,
+                            **{
+                                f"h{k:02d}": [s[k] for s in sigs]
+                                for k in range(n_hashes)
+                            },
+                        }
+                    )
+
+        return docs.select(id_col, text_col).mapInPandas(kern, out_schema)
+    if hash_fn != "xxh64":
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    sh = shingles(docs, n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.xxhash64(F.lit(str(k)), F.col("shingle"))).alias(f"h{k:02d}")
+        for k in range(n_hashes)
+    ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 

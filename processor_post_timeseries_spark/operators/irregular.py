@@ -63,12 +63,23 @@ def segments_from_ts_arrays(
     gap = gap_us if isinstance(gap_us, Column) else F.lit(gap_us)
     ts = F.col(ts_col)
     bounds = _boundary_positions(ts, gap)
+    # slice+zip, not transform-over-sequence with element_at: the lambda
+    # would re-evaluate the computed ``bounds`` (an O(n) filter) once
+    # PER SEGMENT — O(segments * n) per row (see word_ngram_array for
+    # the same trap). Zipping bounds with its own 1-shifted slice gives
+    # the identical (p0, p1) pairs with bounds evaluated ~3x per row.
+    nb = F.size(bounds) - 1
+    zb = F.arrays_zip(
+        F.slice(bounds, 1, nb).alias("p0"),
+        F.slice(bounds, 2, nb).alias("p1"),
+        F.sequence(F.lit(1), nb).alias("j"),
+    )
     segs = F.transform(
-        F.sequence(F.lit(1), F.size(bounds) - 1),
-        lambda j: F.struct(
-            (j - 1).cast("long").alias("seg_id"),
-            F.element_at(bounds, j).alias("p0"),
-            F.element_at(bounds, j + 1).alias("p1"),
+        zb,
+        lambda s: F.struct(
+            (s["j"] - 1).cast("long").alias("seg_id"),
+            s["p0"].alias("p0"),
+            s["p1"].alias("p1"),
         ),
     )
     keep = [c for c in seq.columns if c not in (ts_col, "tokens")]
@@ -108,20 +119,25 @@ def block_bounds_from_ts_arrays(
     gap = gap_us if isinstance(gap_us, Column) else F.lit(gap_us)
     ts = F.col(ts_col)
     bounds = _boundary_positions(ts, gap)
+    # same slice+zip shape as segments_from_ts_arrays: keep the computed
+    # ``bounds`` out of lambda bodies so it is not re-evaluated per
+    # segment (the inner lambda now only touches its own struct fields)
+    nb = F.size(bounds) - 1
+    zb = F.arrays_zip(
+        F.slice(bounds, 1, nb).alias("p0"),
+        F.slice(bounds, 2, nb).alias("p1"),
+        F.sequence(F.lit(1), nb).alias("j"),
+    )
     blocks = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.size(bounds) - 1),
-            lambda j: F.transform(
-                F.sequence(
-                    F.element_at(bounds, j),
-                    F.element_at(bounds, j + 1) - 1,
-                    F.lit(block_size),
-                ),
+            zb,
+            lambda s: F.transform(
+                F.sequence(s["p0"], s["p1"] - 1, F.lit(block_size)),
                 lambda b, k: F.struct(
-                    (j - 1).cast("long").alias("seg_id"),
+                    (s["j"] - 1).cast("long").alias("seg_id"),
                     k.cast("int").alias("block_no"),
                     b.alias("p0"),
-                    F.least(b + block_size, F.element_at(bounds, j + 1)).alias("p1"),
+                    F.least(b + block_size, s["p1"]).alias("p1"),
                 ),
             ),
         )

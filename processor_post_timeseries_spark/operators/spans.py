@@ -147,11 +147,20 @@ def exact_duplicate_runs(
         ),
     )
     bounds = F.concat(starts, F.array(n + 1))
+    # slice+zip (see word_ngram_array): the former
+    # transform-over-sequence re-evaluated the computed ``bounds`` — an
+    # O(n) filter — once per island. ``arr`` is a bound column, so
+    # element_at on it stays cheap inside the lambda.
+    nbi = F.size(bounds) - 1
+    zb = F.arrays_zip(
+        F.slice(bounds, 1, nbi).alias("b0"),
+        F.slice(bounds, 2, nbi).alias("b1"),
+    )
     runs = F.transform(
-        F.sequence(F.lit(1), F.size(bounds) - 1),
-        lambda j: F.struct(
-            F.element_at(arr, F.element_at(bounds, j)).alias("s"),
-            F.element_at(arr, F.element_at(bounds, j + 1) - 1).alias("e"),
+        zb,
+        lambda s: F.struct(
+            F.element_at(arr, s["b0"]).alias("s"),
+            F.element_at(arr, s["b1"] - 1).alias("e"),
         ),
     )
     return ps.select(id_col, F.explode(runs).alias("_r")).select(

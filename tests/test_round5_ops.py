@@ -453,3 +453,37 @@ def test_merge_one_matches_replace_property():
         assert got == want, (tokens, left, right)
 
     check()
+
+
+def test_bpe_train_checkpoint_bounds_plan_depth(spark, monkeypatch):
+    """r6: the train loop must localCheckpoint the working frame every
+    ``checkpoint_every`` rounds (bounded plan depth / O(rounds *
+    corpus / checkpoint_every) re-merge cost instead of O(rounds^2))
+    and produce the identical merge table regardless of the cadence."""
+    texts = [
+        "the cat sat on the mat and the bat sat on the cat",
+        "a banana bandana and a cabana in havana",
+        "thththththththth",
+        "mississippi mississippi mississippi",
+    ]
+    seq = spark.createDataFrame(
+        [(str(i), [ord(c) for c in t], len(t)) for i, t in enumerate(texts)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+
+    cls = type(seq)  # the concrete (classic) DataFrame type
+    ckpts: list[bool] = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        ckpts.append(eager)
+        return orig(self, eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    got = [tuple(r) for r in bpe_train(seq, 12, checkpoint_every=3).collect()]
+    # 12 rounds / cadence 3 -> the checkpoint fired (eagerly) at least 3x
+    assert len(ckpts) >= 3 and all(ckpts)
+
+    monkeypatch.setattr(cls, "localCheckpoint", orig)
+    want = [tuple(r) for r in bpe_train(seq, 12, checkpoint_every=10_000).collect()]
+    assert got == want
