@@ -1225,8 +1225,11 @@ def _scratch_dir(name: str, sf_dir: str) -> str:
 
     import os as _os
 
+    # tmpfs when available (same rationale as bench.py's PTS_BENCH_OUT
+    # default: measure the compute path, not the single VM disk)
+    root = "/dev/shm" if _os.path.isdir("/dev/shm") else "/tmp"
     p = _os.path.join(
-        "/tmp/pts_contract_scratch",
+        f"{root}/pts_contract_scratch",
         f"{name}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     shutil.rmtree(p, ignore_errors=True)
