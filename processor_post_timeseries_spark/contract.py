@@ -2253,7 +2253,14 @@ def _q_agg_heavy_hitters():
         from .operators.heavy_hitters import heavy_hitters
 
         load_views(spark, sf_dir)
-        words = spark.table("documents").select(
+        # read the scan directly, NOT the (possibly spread) documents
+        # view: Misra-Gries' candidate pass is itself a map-side partial
+        # aggregation, so a round-robin pre-exchange of the input buys
+        # nothing at any scale and only adds a shuffle + stage (guide
+        # §2.3 "aggregate before you shuffle" — here: don't shuffle
+        # before an aggregation that never needed it; measured +0.6 s
+        # from the spread at sf0.1). Order-insensitive by construction.
+        words = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             F.explode(F.split(F.col("text"), " ")).alias("word")
         )
         return heavy_hitters(words, "word", k=K, capacity=CAP)
